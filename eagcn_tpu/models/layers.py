@@ -1,0 +1,294 @@
+"""EAGCN building blocks as pure functions over parameter pytrees.
+
+Sparse re-design of `eagcn_pytorch/layers.py`:
+
+* `GraphConv_block` (`layers.py:52-95`) -> `view_block`: the 1x1 Conv2d
+  over one-hot relation channels collapses to an embedding lookup
+  ``sigmoid(att_w[relation_id])`` per edge; adjacency masking is implicit
+  in the edge list; row normalization is a per-node reduction.
+* `GraphConv_Layer` (`layers.py:262-325`) -> `multiview_layer`: five view
+  blocks sharing ONE node-feature gather, fused per the ELLPACK backend.
+* Attention math reproduced from `layers.py:82-90`:
+      A = sigmoid(att)*adj + sigmoid(self_r)*I*mask + (1-adj)*1e-9
+      A = (A / A.rowsum()) * mask
+  The (1-adj)*1e-9 "tiny" mass enters the row DENOMINATOR exactly
+  (precomputed per node as `(n_mol - deg) * 1e-9`, `data/batching.py`);
+  its off-neighbor numerator contribution (~1e-9 * sum of features) is
+  dropped — below fp32 resolution of the activations, documented in
+  SURVEY §7.3.
+* Dropout follows torch `F.dropout` (inverted scaling), `layers.py:94`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.aggregate import EllOps, GraphOps, make_ops
+from .norm import batch_norm_apply, init_batch_norm
+
+Params = Dict
+State = Dict
+
+# relation-id column for each of the five views: atom-pair type, bond order,
+# aromaticity, conjugation, ring membership (`layers.py:306-310`).
+VIEW_REL_COLUMNS = (0, 1, 2, 3, 4)
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
+            train: bool) -> jnp.ndarray:
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# --------------------------------------------------------------------------
+# single-view edge-attention block  (GraphConv_block, layers.py:52-95)
+# --------------------------------------------------------------------------
+
+def init_view_block(key, n_rel: int, f_in: int, f_out: int):
+    """Init parity with the reference:
+    * att (1x1 conv over one-hot channels): kaiming_uniform(a=sqrt(5)) ==
+      U(+-1/sqrt(n_rel)) (torch Conv2d default on fan_in=n_rel)
+    * graph-conv weight: N(0, 0.02) via `weights_init` (`utils.py:702-705`)
+    * graph-conv bias: U(+-1/sqrt(f_out)) (`layers.py:32-36`)
+    * self_r: U(-0.01, 0.01) (`layers.py:77-79`)
+    """
+    k_att, k_w, k_b, k_bn = jax.random.split(key, 4)
+    bn_params, bn_state = init_batch_norm(k_bn, f_out)
+    params = {
+        "att": _uniform(k_att, (n_rel,), 1.0 / math.sqrt(n_rel)),
+        "w": 0.02 * jax.random.normal(k_w, (f_in, f_out), jnp.float32),
+        "b": _uniform(k_b, (f_out,), 1.0 / math.sqrt(f_out)),
+        "self_r": _uniform(jax.random.fold_in(key, 7), (), 0.01),
+        "bn": bn_params,
+    }
+    return params, {"bn": bn_state}
+
+
+def view_block_apply(
+    params, state, ops: GraphOps, batch, x, rel_col: int,
+    drop_rate: float, train: bool, rng, axis_name=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
+    """Returns (activations [N, f_out], edge scores in backend layout,
+    new state).  The edge scores correspond to the reference's returned
+    ``A1 = sigmoid(att)*adj`` (`layers.py:83,95`)."""
+    sig = ops.scores(params["att"], rel_col)
+    h, denom = _normalized_aggregate(params, ops, batch, x, sig)
+    h = h @ params["w"] + params["b"]
+    h_bn, bn_state = batch_norm_apply(
+        params["bn"], state["bn"], h, batch.node_mask, train, axis_name
+    )
+    h = jax.nn.relu(h_bn)
+    h = dropout(h, drop_rate, rng, train)
+    return h, sig, {"bn": bn_state}
+
+
+def _normalized_aggregate(params, ops, batch, x, sig):
+    """(A / rowsum) * mask aggregation with learned self-loop
+    (`layers.py:83-92`)."""
+    sr = jax.nn.sigmoid(params["self_r"])
+    conn = batch.node_conn
+    denom = (
+        ops.rowsum(sig) + sr * conn + batch.node_tiny + (1.0 - conn)
+    )
+    agg = ops.aggregate(sig, x)
+    h = (agg + (sr * conn)[:, None] * x) / denom[:, None] * conn[:, None]
+    return h, denom
+
+
+# --------------------------------------------------------------------------
+# five-view layer  (GraphConv_Layer, layers.py:262-325)
+# --------------------------------------------------------------------------
+
+def init_multiview_layer(
+    key, n_bfeat: int, f_in: int, outs: Sequence[int],
+    structure: str, last: bool = False,
+):
+    """outs: the five per-view widths (node_out_1..5).  Relation channel
+    counts are fixed at (n_bfeat, 4, 2, 2, 2) (`layers.py:269-273`)."""
+    n_rels = (n_bfeat, 4, 2, 2, 2)
+    keys = jax.random.split(key, 8)
+    blocks, bstates = [], []
+    for v in range(5):
+        p, s = init_view_block(keys[v], n_rels[v], f_in, outs[v])
+        blocks.append(p)
+        bstates.append(s)
+    params: Params = {"blocks": blocks}
+    state: State = {"blocks": bstates}
+    if structure == "Weighted_sum":
+        params["ave"] = _uniform(keys[5], (5,), 1.0 / math.sqrt(5))
+    if last:
+        params["ave_A"] = _uniform(keys[6], (5,), 1.0 / math.sqrt(5))
+        params["self_r"] = _uniform(keys[7], (), 0.01)
+    return params, state
+
+
+def multiview_layer_apply(
+    params, state, ops: GraphOps, batch, x, structure: str,
+    drop_rate: float, train: bool, rng, last: bool = False, axis_name=None,
+):
+    """Returns (fused activations, consensus-A info or None, new state)."""
+    rngs = jax.random.split(rng, 5) if rng is not None else [None] * 5
+    xs, sigs, new_bstates = [], [], []
+    for v in range(5):
+        h, sig, bs = view_block_apply(
+            params["blocks"][v], state["blocks"][v], ops, batch, x,
+            VIEW_REL_COLUMNS[v], drop_rate, train, rngs[v], axis_name,
+        )
+        xs.append(h)
+        sigs.append(sig)
+        new_bstates.append(bs)
+
+    conn = batch.node_conn
+    if structure == "Concate":
+        fused = jnp.concatenate(xs, axis=-1) * conn[:, None]   # mask3,:313
+    elif structure == "Weighted_sum":
+        fused = sum(params["ave"][v] * xs[v] for v in range(5))  # :314-316
+    else:
+        raise ValueError(f"unknown structure {structure!r}")
+
+    consensus = None
+    if last:
+        # consensus attention for pooling (`layers.py:318-324`): weighted
+        # average of the five score maps, re-sigmoided, self-loop added,
+        # row-normalized.  Kept in backend edge layout + per-node extras.
+        ave = sum(params["ave_A"][v] * sigs[v] for v in range(5))
+        a_cons = jax.nn.sigmoid(ave)
+        # zero out padded slots (sigmoid(0)=0.5 on fake edges)
+        a_cons = a_cons * _edge_presence(ops)
+        sr = jax.nn.sigmoid(params["self_r"])
+        denom = ops.rowsum(a_cons) + sr * conn + batch.node_tiny + (1 - conn)
+        consensus = {"edge_w": a_cons, "self_w": sr, "denom": denom}
+    return fused, consensus, {"blocks": new_bstates}
+
+
+def _edge_presence(ops: GraphOps) -> jnp.ndarray:
+    if isinstance(ops, EllOps):
+        return ops.neigh_mask
+    return ops.edge_mask  # CooOps
+
+
+def consensus_aggregate(consensus, ops: GraphOps, batch, x) -> jnp.ndarray:
+    """Applies the row-normalized consensus adjacency to features
+    (A_weight @ x for the DiffPool path, `models.py:104-106`)."""
+    conn = batch.node_conn
+    sig = consensus["edge_w"]
+    denom = consensus["denom"]
+    sr = consensus["self_w"]
+    agg = ops.aggregate(sig, x)
+    h = (agg + (sr * conn)[:, None] * x) / denom[:, None] * conn[:, None]
+    return h
+
+
+# --------------------------------------------------------------------------
+# dense / readout pieces  (Dense, layers.py:360-392)
+# --------------------------------------------------------------------------
+
+def init_dense(key, f_in: int, f_out: int, bias: bool = False):
+    """torch-parity init: U(+-1/sqrt(OUT features)) — the reference uses
+    `weight.size(1)` i.e. fan-OUT for the bound (`layers.py:376-380`)."""
+    bound = 1.0 / math.sqrt(f_out)
+    params = {"w": _uniform(key, (f_in, f_out), bound)}
+    if bias:
+        params["b"] = _uniform(jax.random.fold_in(key, 1), (f_out,), bound)
+    return params
+
+
+def dense_apply(params, x):
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# --------------------------------------------------------------------------
+# Vanilla GCN layer  (layers.py:205-258)
+# --------------------------------------------------------------------------
+
+def init_gcn_layer(key, f_in: int, f_out: int):
+    k_w, k_b, k_bn = jax.random.split(key, 3)
+    bn_params, bn_state = init_batch_norm(k_bn, f_out)
+    params = {
+        "w": 0.02 * jax.random.normal(k_w, (f_in, f_out), jnp.float32),
+        "b": _uniform(k_b, (f_out,), 1.0 / math.sqrt(f_out)),
+        "bn": bn_params,
+    }
+    return params, {"bn": bn_state}
+
+
+def gcn_layer_apply(params, state, ops, batch, x, drop_rate, train, rng,
+                    axis_name=None):
+    """Kipf GCN with the reference's masking: A = adj + I*mask + tiny,
+    row-normalized (`layers.py:237-253`)."""
+    conn = batch.node_conn
+    ones = _edge_presence(ops)
+    denom = ops.rowsum(ones) + conn + batch.node_tiny + (1 - conn)
+    agg = ops.aggregate(ones, x)
+    h = (agg + conn[:, None] * x) / denom[:, None] * conn[:, None]
+    h = h @ params["w"] + params["b"]
+    h_bn, bn_state = batch_norm_apply(
+        params["bn"], state["bn"], h, batch.node_mask, train, axis_name
+    )
+    h = jax.nn.relu(h_bn)
+    h = dropout(h, drop_rate, rng, train)
+    return h, {"bn": bn_state}
+
+
+# --------------------------------------------------------------------------
+# GAT layer  (layers.py:99-200) — sparse softmax attention
+# --------------------------------------------------------------------------
+
+def init_gat_layer(key, f_in: int, f_out: int):
+    """Xavier-uniform gain 1.414 (`layers.py:112-115`)."""
+    k_w, k_a = jax.random.split(key)
+    bw = 1.414 * math.sqrt(6.0 / (f_in + f_out))
+    ba = 1.414 * math.sqrt(6.0 / (2 * f_out + 1))
+    params = {
+        "w": _uniform(k_w, (f_in, f_out), bw),
+        "a_src": _uniform(k_a, (f_out,), ba),
+        "a_dst": _uniform(jax.random.fold_in(k_a, 1), (f_out,), ba),
+    }
+    return params, {}
+
+
+def gat_layer_apply(params, state, ops, batch, x, drop_rate, train, rng,
+                    alpha: float = 0.2, axis_name=None):
+    """Sparse GAT over A = adj + I (`layers.py:190`): attention
+    e_ij = LeakyReLU(a^T [Wh_i || Wh_j]) decomposed into per-node halves,
+    softmax over the in-neighborhood + self.  Replaces the reference's
+    per-molecule Python loop (`layers.py:194-195`) with one vectorized
+    mega-graph pass."""
+    if not isinstance(ops, EllOps):
+        raise NotImplementedError("GAT requires the ELL backend")
+    h = x @ params["w"]                               # [N, F']
+    e_src = h @ params["a_src"]                       # [N] a^T Wh_i (dst half)
+    e_dst = h @ params["a_dst"]                       # [N] (src half)
+    gathered_e = e_dst[ops.neigh]                     # [N, D]
+    logits = jax.nn.leaky_relu(e_src[:, None] + gathered_e, alpha)
+    self_logit = jax.nn.leaky_relu(e_src + e_dst, alpha)  # [N]
+    neg = jnp.finfo(logits.dtype).min
+    logits = jnp.where(ops.neigh_mask > 0, logits, neg)
+    all_logits = jnp.concatenate([logits, self_logit[:, None]], axis=1)
+    att = jax.nn.softmax(all_logits, axis=1)          # [N, D+1]
+    att = att * jnp.concatenate(
+        [ops.neigh_mask, batch.node_conn[:, None]], axis=1
+    )
+    if train and rng is not None:
+        att = dropout(att, 0.5, rng, train)           # layers.py:134
+    neigh_att, self_att = att[:, :-1], att[:, -1]
+    out = jnp.einsum("nd,ndf->nf", neigh_att, h[ops.neigh])
+    out = out + self_att[:, None] * h
+    rng2 = jax.random.fold_in(rng, 1) if rng is not None else None
+    out = dropout(out, drop_rate, rng2, train)        # layers.py:197
+    out = jax.nn.relu(out)                            # layers.py:198
+    return out, {}
