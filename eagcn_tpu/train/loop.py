@@ -1,0 +1,257 @@
+"""The training driver.
+
+Replaces `eagcn_pytorch/train.py:289-478` `train()`: builds data, model and
+optimizer from an ExperimentConfig, runs the jitted epoch loop with
+per-epoch evaluation, reference-parity early stopping, structured logging,
+periodic Orbax checkpoints, and final representation dumps."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data import (
+    BatchShape,
+    FeaturizedDataset,
+    batch_to_jax,
+    bce_class_weights,
+    get_spec,
+    iter_batches,
+    load_dataset,
+    plan_batch_shape,
+    train_val_test_split,
+)
+from ..models import apply_eagcn, init_eagcn
+from ..utils.config import ExperimentConfig
+from ..utils.logging import RunLogger
+from .checkpoint import CheckpointManager
+from .metrics import masked_multitask_auc, rmse
+from .steps import make_eval_step, make_optimizer, make_train_step
+
+
+class Experiment:
+    """One training run.  Usage:
+        exp = Experiment(cfg)
+        results = exp.run()
+    """
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        dataset: Optional[FeaturizedDataset] = None,
+        logger: Optional[RunLogger] = None,
+        run_name: Optional[str] = None,
+        checkpoint_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        t = cfg.train
+        self.ds = dataset if dataset is not None else load_dataset(
+            get_spec(t.dataset)
+        )
+        cfg.model.n_bfeat = self.ds.n_bfeat
+        cfg.model.n_afeat = self.ds.n_afeat
+        cfg.model.n_tasks = self.ds.labels.shape[1]
+
+        self.train_idx, self.val_idx, self.test_idx = train_val_test_split(
+            len(self.ds), t.random_state
+        )
+        sizes, bonds = self.ds.sizes(), np.array(
+            [g.num_bonds for g in self.ds.graphs]
+        )
+        self.batch_shape = plan_batch_shape(sizes, bonds, t.batch_size)
+
+        self.class_weights = None
+        if t.task_type == "class":
+            self.class_weights = bce_class_weights(
+                self.ds.labels[self.train_idx]
+            )
+
+        self.tx = make_optimizer(t.learning_rate, t.weight_decay)
+        key = jax.random.key(t.seed)
+        self.init_key, self.drop_key = jax.random.split(key)
+        self.params, self.state = init_eagcn(self.init_key, cfg.model)
+        self.opt_state = self.tx.init(self.params)
+
+        self.train_step = make_train_step(
+            cfg.model, t.task_type, self.tx, self.class_weights
+        )
+        self.eval_step = make_eval_step(cfg.model, t.task_type)
+
+        name = run_name or f"{t.dataset}_{cfg.model.structure}_rs{t.random_state}"
+        self.logger = logger or RunLogger(cfg.out_dir, name)
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        )
+        self.start_epoch = 0
+        self.val_history: List[float] = []
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def maybe_resume(self) -> bool:
+        if self.ckpt is None:
+            return False
+        payload = self.ckpt.restore()
+        if payload is None:
+            return False
+        self.params = payload["params"]
+        self.state = payload["state"]
+        self.opt_state = jax.tree_util.tree_map(
+            lambda ref, new: np.asarray(new).astype(np.asarray(ref).dtype)
+            if hasattr(ref, "dtype") else new,
+            self.opt_state, payload["opt_state"],
+        )
+        self.start_epoch = int(payload["epoch"]) + 1
+        self.global_step = int(payload.get("global_step", 0))
+        self.val_history = [float(v) for v in payload.get("val_history", [])]
+        self.logger.write_text(f"resumed from epoch {self.start_epoch}")
+        return True
+
+    def _save(self, epoch: int) -> None:
+        if self.ckpt is None:
+            return
+        self.ckpt.save(epoch, {
+            "params": self.params,
+            "state": self.state,
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+            "global_step": self.global_step,
+            "val_history": np.asarray(self.val_history, dtype=np.float64),
+        })
+
+    # ------------------------------------------------------------------
+    def evaluate(self, indices: np.ndarray) -> Dict:
+        """Full sweep -> metric dict (AUC list+mean or RMSE)."""
+        preds, trues = [], []
+        for batch in iter_batches(self.ds, indices, self.batch_shape):
+            p, _, _ = self.eval_step(self.params, self.state, batch_to_jax(batch))
+            keep = np.asarray(batch.mol_mask) > 0
+            preds.append(np.asarray(p)[keep])
+            trues.append(np.asarray(batch.labels)[keep])
+        y_pred = np.concatenate(preds)
+        y_true = np.concatenate(trues)
+        if self.cfg.train.task_type == "class":
+            aucs, mean = masked_multitask_auc(y_true, y_pred)
+            return {"auc_per_task": aucs, "auc": mean}
+        return {"rmse": rmse(y_true, y_pred)}
+
+    def _early_stop(self, epoch: int, val_metric: float) -> bool:
+        """Reference early stopping (`train.py:379-397,417-429`): first 4/5
+        of epochs build history; afterwards stop when the current val metric
+        beats the mean of the best-30 historical values."""
+        t = self.cfg.train
+        if epoch < t.num_epochs * t.early_stop_frac:
+            self.val_history.append(val_metric)
+            return False
+        if not self.val_history:
+            return False
+        hist = sorted(self.val_history)
+        if t.task_type == "class":
+            best = hist[-t.early_stop_window:]
+            return val_metric > float(np.mean(best))
+        best = hist[: t.early_stop_window]
+        return val_metric < float(np.mean(best))
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = True) -> Dict:
+        t = self.cfg.train
+        if resume:
+            self.maybe_resume()
+        self.logger.log("config", **dataclasses.asdict(self.cfg))
+        rng = np.random.default_rng(t.seed)
+        stop = False
+        epoch = self.start_epoch
+        for epoch in range(self.start_epoch, t.num_epochs):
+            # data order derives from (seed, epoch) for deterministic resume
+            epoch_rng = np.random.default_rng([t.seed, epoch])
+            t0 = time.time()
+            losses = []
+            for batch in iter_batches(
+                self.ds, self.train_idx, self.batch_shape,
+                shuffle=True, rng=epoch_rng,
+            ):
+                step_key = jax.random.fold_in(self.drop_key, self.global_step)
+                self.params, self.state, self.opt_state, loss = self.train_step(
+                    self.params, self.state, self.opt_state,
+                    batch_to_jax(batch), step_key,
+                )
+                losses.append(loss)
+                self.global_step += 1
+            mean_loss = float(np.mean([float(l) for l in losses]))
+            step_time = time.time() - t0
+
+            if (epoch + 1) % t.eval_every_epochs == 0 or epoch == t.num_epochs - 1:
+                val = self.evaluate(self.val_idx)
+                test = self.evaluate(self.test_idx)
+                key = "auc" if t.task_type == "class" else "rmse"
+                self.logger.metrics_line(
+                    epoch + 1, t.num_epochs, self.global_step, mean_loss,
+                    **{f"Validation {key.upper()}": val[key],
+                       f"Test {key.upper()}": test[key],
+                       "epoch_s": round(step_time, 2)},
+                )
+                stop = self._early_stop(epoch, val[key])
+
+            if t.checkpoint_every and (epoch + 1) % t.checkpoint_every == 0:
+                self._save(epoch)
+            if stop:
+                self.logger.write_text(
+                    f"{epoch}th epoch: early stop triggered"
+                )
+                break
+
+        self._save(epoch)
+        results = {
+            "train": self.evaluate(self.train_idx),
+            "val": self.evaluate(self.val_idx),
+            "test": self.evaluate(self.test_idx),
+            "epochs_run": epoch + 1,
+        }
+        self.logger.log("final", **{
+            k: v for k, v in results.items() if k != "epochs_run"
+        })
+        key = "auc" if t.task_type == "class" else "rmse"
+        self.logger.write_text(
+            f"{key.upper()} of the model on the train set: {results['train'][key]:.4f}\n"
+            f"{key.upper()} of the model on the val set:   {results['val'][key]:.4f}\n"
+            f"{key.upper()} of the model on the test set:  {results['test'][key]:.4f}"
+        )
+        return results
+
+    # ------------------------------------------------------------------
+    def dump_representations(self, out_dir: str) -> None:
+        """Parity with `dump_atom_rep` (`train.py:213-287`): saves per-atom
+        representations with subtype + molecule index, and per-molecule
+        graph representations with labels and predictions, as npz."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        atom_rep, atom_sub, atom_mol = [], [], []
+        graph_rep, mol_idx, mol_lab, mol_pred = [], [], [], []
+        for batch in iter_batches(self.ds, self.train_idx, self.batch_shape):
+            p, atoms, graphs = self.eval_step(
+                self.params, self.state, batch_to_jax(batch)
+            )
+            nm = np.asarray(batch.node_mask) > 0
+            atom_rep.append(np.asarray(atoms)[nm])
+            atom_sub.append(np.asarray(batch.node_subtype)[nm])
+            atom_mol.append(np.asarray(batch.mol_index)[
+                np.asarray(batch.node_mol)[nm]])
+            mm = np.asarray(batch.mol_mask) > 0
+            graph_rep.append(np.asarray(graphs)[mm])
+            mol_idx.append(np.asarray(batch.mol_index)[mm])
+            mol_lab.append(np.asarray(batch.labels)[mm])
+            mol_pred.append(np.asarray(p)[mm])
+        np.savez_compressed(
+            os.path.join(out_dir, f"{self.cfg.train.dataset}_reps.npz"),
+            atom_rep=np.concatenate(atom_rep),
+            atom_subtype=np.concatenate(atom_sub),
+            atom_mol_index=np.concatenate(atom_mol),
+            graph_rep=np.concatenate(graph_rep),
+            mol_index=np.concatenate(mol_idx),
+            labels=np.concatenate(mol_lab),
+            predictions=np.concatenate(mol_pred),
+        )

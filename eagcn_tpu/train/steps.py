@@ -1,0 +1,82 @@
+"""Jitted train / eval step builders.
+
+The reference's train loop re-dispatches per-op per-step from Python
+(`eagcn_pytorch/train.py:310-334`); here the whole step — forward, loss,
+backward, Adam update, BN state update — is ONE compiled XLA program with
+donated buffers (no host round-trip, no reallocation)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import apply_eagcn
+from ..utils.config import ModelConfig
+from .losses import mse_loss, weighted_bce_loss
+
+
+def make_optimizer(learning_rate: float, weight_decay: float):
+    """torch.optim.Adam(lr, weight_decay) parity (`train.py:303`): the
+    decay term is added to the GRADIENT before the Adam moments (classic
+    L2, not AdamW), eps=1e-8, betas=(0.9, 0.999)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-learning_rate),
+    )
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    task_type: str,
+    tx: optax.GradientTransformation,
+    class_weights=None,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    def loss_fn(params, state, batch, rng):
+        logits, _, _, new_state = apply_eagcn(
+            params, state, batch, cfg, train=True, rng=rng,
+            axis_name=axis_name,
+        )
+        if task_type == "reg":
+            loss = mse_loss(logits, batch.labels, batch.mol_mask)
+        else:
+            loss = weighted_bce_loss(logits, batch.labels, batch.mol_mask, cw)
+        return loss, new_state
+
+    def step(params, state, opt_state, batch, rng):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, batch, rng
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    if axis_name is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+    return step  # caller wraps in shard_map and jits
+
+
+def make_eval_step(cfg: ModelConfig, task_type: str) -> Callable:
+    """Returns predictions in metric space: sigmoid probabilities for
+    classification (`train.py:146` F.sigmoid), raw outputs for
+    regression."""
+
+    @jax.jit
+    def step(params, state, batch):
+        logits, atom_reps, graph_rep, _ = apply_eagcn(
+            params, state, batch, cfg, train=False
+        )
+        preds = jax.nn.sigmoid(logits) if task_type == "class" else logits
+        return preds, atom_reps, graph_rep
+
+    return step
