@@ -84,12 +84,16 @@ def count_mol_types(
     atomtype_counts: Dict[int, int],
 ) -> None:
     """One molecule's contribution to the dataset type dictionaries
-    (`neural_fp.py:363-393`).  Raises AtomError (and leaves partial counts
-    behind, same as the reference's in-place dict mutation) when an atom
-    falls outside the whitelist."""
+    (`neural_fp.py:363-393`).  Raises AtomError when an atom falls outside
+    the whitelist.  Divergence from the reference (documented): the
+    reference's in-place dict mutation leaves PARTIAL counts behind for
+    rejected molecules; we validate first so rejected molecules contribute
+    nothing — deterministic and implementation-independent (the native
+    C++ path shares this contract)."""
     for a in mol.atoms:
         if a.atomic_num not in _SELECTED_INDEX:
             raise AtomError(f"atom {a.atomic_num} outside whitelist")
+    for a in mol.atoms:
         atomtype_counts[a.atomic_num] = atomtype_counts.get(a.atomic_num, 0) + 1
     for b in mol.bonds:
         z1 = mol.atoms[b.a1].atomic_num

@@ -51,6 +51,12 @@ class GraphBatch:
     neigh: np.ndarray           # [N, D] i32 neighbour node index (0 when padded)
     neigh_rel: np.ndarray       # [N, D, 5] i32 relation ids
     neigh_mask: np.ndarray      # [N, D] f32
+    # reverse-slot table: neigh[neigh[j,d], neigh_rev[j,d]] == j.  Molecular
+    # graphs are symmetric, so the TRANSPOSE of the attention matrix is
+    # reachable by gathers alone — this powers the scatter-free custom VJP
+    # of the aggregation (ops/aggregate.py); scatter-add is pathologically
+    # slow on TPU.
+    neigh_rev: np.ndarray       # [N, D] i32
     # COO view (directed edges, both directions of each bond)
     edge_src: np.ndarray        # [E] i32
     edge_dst: np.ndarray        # [E] i32
@@ -142,6 +148,7 @@ class GraphBatcher:
         neigh = np.zeros((N, D), dtype=np.int32)
         neigh_rel = np.zeros((N, D, 5), dtype=np.int32)
         neigh_mask = np.zeros((N, D), dtype=np.float32)
+        neigh_rev = np.zeros((N, D), dtype=np.int32)
         edge_src = np.zeros((E,), dtype=np.int32)
         edge_dst = np.zeros((E,), dtype=np.int32)
         edge_rel = np.zeros((E, 5), dtype=np.int32)
@@ -169,6 +176,9 @@ class GraphBatcher:
                 i = base + int(g.bonds[k, 0])
                 j = base + int(g.bonds[k, 1])
                 rel = g.bond_relations[k]
+                slot_i, slot_j = deg[i], deg[j]
+                neigh_rev[i, slot_i] = slot_j   # j's slot holding i
+                neigh_rev[j, slot_j] = slot_i
                 for (s, d) in ((i, j), (j, i)):
                     slot = deg[d]
                     neigh[d, slot] = s
@@ -195,10 +205,40 @@ class GraphBatcher:
             node_feat=node_feat, node_mol=node_mol, node_mask=node_mask,
             node_conn=node_conn, node_tiny=node_tiny, node_subtype=node_subtype,
             neigh=neigh, neigh_rel=neigh_rel, neigh_mask=neigh_mask,
+            neigh_rev=neigh_rev,
             edge_src=edge_src, edge_dst=edge_dst, edge_rel=edge_rel,
             edge_mask=edge_mask, labels=out_labels, mol_mask=mol_mask,
             mol_size=mol_size, mol_index=mol_index,
         )
+
+
+def pack_from_dataset(
+    ds: FeaturizedDataset, ids: Sequence[int], shape: BatchShape,
+    use_native: bool = True,
+) -> GraphBatch:
+    """Packs dataset rows `ids` into one batch, preferring the C++ packer
+    (bit-identical to the Python path; tests/test_native.py)."""
+    if use_native:
+        from ..chem.native import native_available, native_pack
+
+        if native_available():
+            afm, bonds, rels, subs, node_off, bond_off = ds.concat_arrays()
+            out = native_pack(
+                afm, bonds, rels, subs, node_off, bond_off, ids,
+                shape.num_nodes, shape.num_edges, shape.num_mols,
+                shape.max_degree,
+            )
+            if out is not None:
+                n_tasks = ds.labels.shape[1]
+                lab = np.zeros((shape.num_mols, n_tasks), np.float32)
+                if len(ids):
+                    lab[: len(ids)] = ds.labels[np.asarray(ids, np.int64)]
+                return GraphBatch(labels=lab, **out)
+    batcher = GraphBatcher(shape)
+    graphs = [ds.graphs[int(i)] for i in ids]
+    labels = (np.stack([ds.labels[int(i)] for i in ids])
+              if len(ids) else np.zeros((0, ds.labels.shape[1]), np.float32))
+    return batcher.pack(graphs, labels, list(ids))
 
 
 def iter_batches(
@@ -208,14 +248,12 @@ def iter_batches(
     shuffle: bool = False,
     rng: Optional[np.random.Generator] = None,
     drop_remainder: bool = False,
+    use_native: bool = True,
 ) -> Iterator[GraphBatch]:
     """Greedy packing of the index stream into fixed-shape batches."""
-    batcher = GraphBatcher(shape)
     order = np.array(indices, copy=True)
     if shuffle:
         (rng or np.random.default_rng()).shuffle(order)
-    cur_graphs: List[MolGraph] = []
-    cur_labels: List[np.ndarray] = []
     cur_idx: List[int] = []
     n_used = 0
     e_used = 0
@@ -223,19 +261,17 @@ def iter_batches(
         g = ds.graphs[int(i)]
         n, e = g.num_atoms, 2 * g.num_bonds
         if (
-            len(cur_graphs) >= shape.num_mols
+            len(cur_idx) >= shape.num_mols
             or n_used + n > shape.num_nodes
             or e_used + e > shape.num_edges
         ):
-            yield batcher.pack(cur_graphs, np.stack(cur_labels), cur_idx)
-            cur_graphs, cur_labels, cur_idx, n_used, e_used = [], [], [], 0, 0
-        cur_graphs.append(g)
-        cur_labels.append(ds.labels[int(i)])
+            yield pack_from_dataset(ds, cur_idx, shape, use_native)
+            cur_idx, n_used, e_used = [], 0, 0
         cur_idx.append(int(i))
         n_used += n
         e_used += e
-    if cur_graphs and not drop_remainder:
-        yield batcher.pack(cur_graphs, np.stack(cur_labels), cur_idx)
+    if cur_idx and not drop_remainder:
+        yield pack_from_dataset(ds, cur_idx, shape, use_native)
 
 
 def batch_to_jax(batch: GraphBatch):

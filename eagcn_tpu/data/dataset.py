@@ -75,9 +75,34 @@ class FeaturizedDataset:
     feat_max: np.ndarray
     skip_stats: Dict[str, int] = field(default_factory=dict)
 
+    _concat_cache: Optional[tuple] = None
+
     @property
     def n_bfeat(self) -> int:
         return len(self.bondtype_list)
+
+    def concat_arrays(self):
+        """Concatenated per-molecule arrays + offsets for the native batch
+        packer (built once, cached)."""
+        if self._concat_cache is None:
+            node_off = np.zeros(len(self.graphs) + 1, np.int64)
+            bond_off = np.zeros(len(self.graphs) + 1, np.int64)
+            for i, g in enumerate(self.graphs):
+                node_off[i + 1] = node_off[i] + g.num_atoms
+                bond_off[i + 1] = bond_off[i] + g.num_bonds
+            self._concat_cache = (
+                np.ascontiguousarray(
+                    np.concatenate([g.atom_features for g in self.graphs])),
+                np.ascontiguousarray(
+                    np.concatenate([g.bonds for g in self.graphs])),
+                np.ascontiguousarray(
+                    np.concatenate([g.bond_relations for g in self.graphs])),
+                np.ascontiguousarray(
+                    np.concatenate([g.subtypes for g in self.graphs])),
+                node_off,
+                bond_off,
+            )
+        return self._concat_cache
 
     @property
     def n_afeat(self) -> int:
@@ -96,21 +121,40 @@ def _read_csv(path: str, delimiter: str) -> List[List[str]]:
 
 
 def build_type_dicts(
-    rows: List[List[str]], spec: DatasetSpec
+    rows: List[List[str]], spec: DatasetSpec, use_native: bool = True,
 ) -> Tuple[List[str], List[int]]:
     """Dataset-wide bond/atom type frequency pass
-    (`EAGCN_dataset.py:167-197` + `get_filt_types` `:130-165`)."""
+    (`EAGCN_dataset.py:167-197` + `get_filt_types` `:130-165`).  Uses the
+    C++ featurizer when available (same counting contract)."""
     bond_counts: Dict[str, int] = {}
     atom_counts: Dict[int, int] = {}
+    native = None
+    if use_native:
+        from ..chem.native import native_available, native_featurize
+        if native_available():
+            native = native_featurize
+    from ..chem.featurize import SELECTED_ATOMS
+
     for row in rows[1:]:
         if not row:
             continue
+        smi = row[spec.smiles_col]
+        if native is not None:
+            r = native(smi)
+            if r.error != 0:
+                continue
+            zs = np.asarray(SELECTED_ATOMS)[
+                r.atom_features[:, :10].argmax(1)]
+            for z in zs:
+                atom_counts[int(z)] = atom_counts.get(int(z), 0) + 1
+            for k in range(r.bond_pair_z.shape[0]):
+                name = f"{r.bond_pair_z[k,0]}_{r.bond_pair_z[k,1]}"
+                bond_counts[name] = bond_counts.get(name, 0) + 1
+            continue
         try:
-            mol = mol_from_smiles(row[spec.smiles_col])
+            mol = mol_from_smiles(smi)
             count_mol_types(mol, bond_counts, atom_counts)
         except ChemError:
-            # reference's AtomError/AttributeError pass-through; note that
-            # like the reference, partially-counted molecules stay counted
             continue
     bondtype_list = filter_types(bond_counts, spec.bondtype_freq)
     atomtype_list = filter_types(atom_counts, spec.atomtype_freq)
@@ -130,19 +174,34 @@ def _parse_labels(row: List[str], spec: DatasetSpec) -> np.ndarray:
     return np.asarray(vals, dtype=np.float32)
 
 
+_NATIVE_ERROR_NAMES = {1: "ParseError", 2: "AtomError", 3: "GraphError",
+                       4: "FeaturizeError"}
+
+
 def featurize_dataset(
     spec: DatasetSpec,
     data_dir: str = DEFAULT_DATA_DIR,
     limit: Optional[int] = None,
+    use_native: bool = True,
 ) -> FeaturizedDataset:
     path = os.path.join(data_dir, spec.filename)
     rows = _read_csv(path, spec.delimiter)
-    bondtype_list, atomtype_list = build_type_dicts(rows, spec)
+    bondtype_list, atomtype_list = build_type_dicts(rows, spec, use_native)
+
+    native = None
+    if use_native:
+        from ..chem.native import native_available, native_featurize
+        if native_available():
+            native = native_featurize
+    bondtype_index = {b: i for i, b in enumerate(bondtype_list)}
 
     graphs: List[MolGraph] = []
     labels: List[np.ndarray] = []
     smiles: List[str] = []
     skip: Dict[str, int] = {}
+
+    def _skip(key: str) -> None:
+        skip[key] = skip.get(key, 0) + 1
 
     body = rows[1:]
     if limit is not None:
@@ -152,24 +211,53 @@ def featurize_dataset(
             continue
         smi = row[spec.smiles_col]
         if len(smi) == 0:
-            skip["empty_smiles"] = skip.get("empty_smiles", 0) + 1
+            _skip("empty_smiles")
+            continue
+        if native is not None:
+            r = native(smi)
+            if r.error != 0:
+                _skip(_NATIVE_ERROR_NAMES.get(r.error, "ChemError"))
+                continue
+            if r.mol_wt > spec.molwt_cutoff:
+                _skip("too_heavy")
+                continue
+            if r.atom_features.shape[0] > spec.size_cutoff:
+                _skip("too_large")
+                continue
+            from ..chem.native import resolve_type_ids
+
+            rels = np.empty((r.bonds.shape[0], 5), dtype=np.int32)
+            rels[:, 0] = resolve_type_ids(
+                r.bond_pair_z, bondtype_index, len(bondtype_list))
+            rels[:, 1:] = r.bond_feats
+            g = MolGraph(
+                atom_features=r.atom_features, bonds=r.bonds,
+                bond_relations=rels, subtypes=r.subtypes, smiles=smi,
+            )
+            try:
+                y = _parse_labels(row, spec)
+            except ValueError:
+                _skip("bad_label")
+                continue
+            graphs.append(g)
+            labels.append(y)
+            smiles.append(smi)
             continue
         try:
             mol = mol_from_smiles(smi)
             if mol.exact_mol_wt() > spec.molwt_cutoff:
-                skip["too_heavy"] = skip.get("too_heavy", 0) + 1
+                _skip("too_heavy")
                 continue
             g = featurize_mol(mol, bondtype_list)
             if g.num_atoms > spec.size_cutoff:
-                skip["too_large"] = skip.get("too_large", 0) + 1
+                _skip("too_large")
                 continue
             y = _parse_labels(row, spec)
         except ChemError as e:
-            key = type(e).__name__
-            skip[key] = skip.get(key, 0) + 1
+            _skip(type(e).__name__)
             continue
         except ValueError:
-            skip["bad_label"] = skip.get("bad_label", 0) + 1
+            _skip("bad_label")
             continue
         graphs.append(g)
         labels.append(y)

@@ -87,17 +87,26 @@ def giant_graph(
     n_nodes: int,
     avg_degree: float = 4.0,
     n_bond_types: int = 20,
+    max_degree: int = 8,
 ) -> MolGraph:
     """One connected giant graph (ring backbone + random chords) for the
-    10-100M-edge edge-partition stress runs."""
+    10-100M-edge edge-partition stress runs.  Degree capped at
+    `max_degree` so ELL tables stay fixed width."""
     rng = np.random.default_rng(seed)
     backbone = np.stack(
         [np.arange(n_nodes, dtype=np.int32),
          (np.arange(n_nodes, dtype=np.int32) + 1) % n_nodes], axis=1
     )
+    deg = np.full(n_nodes, 2, dtype=np.int32)
     n_extra = int(n_nodes * (avg_degree - 2.0) / 2.0)
-    chords = rng.integers(0, n_nodes, (max(n_extra, 0), 2)).astype(np.int32)
-    chords = chords[chords[:, 0] != chords[:, 1]]
+    chords_raw = rng.integers(0, n_nodes, (max(n_extra, 0), 2)).astype(np.int32)
+    chords = []
+    for a, b in chords_raw:
+        if a != b and deg[a] < max_degree and deg[b] < max_degree:
+            chords.append((a, b))
+            deg[a] += 1
+            deg[b] += 1
+    chords = np.asarray(chords, dtype=np.int32).reshape(-1, 2)
     bonds = np.concatenate([backbone, chords])
     m = bonds.shape[0]
     rels = np.zeros((m, 5), dtype=np.int32)

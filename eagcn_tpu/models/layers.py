@@ -78,12 +78,19 @@ def init_view_block(key, n_rel: int, f_in: int, f_out: int):
 def view_block_apply(
     params, state, ops: GraphOps, batch, x, rel_col: int,
     drop_rate: float, train: bool, rng, axis_name=None,
+    precomputed_agg: Optional[jnp.ndarray] = None,
+    precomputed_sig: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
     """Returns (activations [N, f_out], edge scores in backend layout,
     new state).  The edge scores correspond to the reference's returned
-    ``A1 = sigmoid(att)*adj`` (`layers.py:83,95`)."""
-    sig = ops.scores(params["att"], rel_col)
-    h, denom = _normalized_aggregate(params, ops, batch, x, sig)
+    ``A1 = sigmoid(att)*adj`` (`layers.py:83,95`).  When the layer already
+    ran the fused multi-view aggregation, `precomputed_agg`/`sig` skip the
+    per-view gather."""
+    sig = (precomputed_sig if precomputed_sig is not None
+           else ops.scores(params["att"], rel_col))
+    agg = (precomputed_agg if precomputed_agg is not None
+           else ops.aggregate(sig, x))
+    h = _normalize_with_self(params, batch, x, sig, agg, ops)
     h = h @ params["w"] + params["b"]
     h_bn, bn_state = batch_norm_apply(
         params["bn"], state["bn"], h, batch.node_mask, train, axis_name
@@ -93,17 +100,14 @@ def view_block_apply(
     return h, sig, {"bn": bn_state}
 
 
-def _normalized_aggregate(params, ops, batch, x, sig):
-    """(A / rowsum) * mask aggregation with learned self-loop
-    (`layers.py:83-92`)."""
+def _normalize_with_self(params, batch, x, sig, agg, ops):
+    """(A / rowsum) * mask with learned self-loop (`layers.py:83-92`)."""
     sr = jax.nn.sigmoid(params["self_r"])
     conn = batch.node_conn
     denom = (
         ops.rowsum(sig) + sr * conn + batch.node_tiny + (1.0 - conn)
     )
-    agg = ops.aggregate(sig, x)
-    h = (agg + (sr * conn)[:, None] * x) / denom[:, None] * conn[:, None]
-    return h, denom
+    return (agg + (sr * conn)[:, None] * x) / denom[:, None] * conn[:, None]
 
 
 # --------------------------------------------------------------------------
@@ -139,11 +143,21 @@ def multiview_layer_apply(
 ):
     """Returns (fused activations, consensus-A info or None, new state)."""
     rngs = jax.random.split(rng, 5) if rng is not None else [None] * 5
+    # fused path: score all five views and gather node features ONCE
+    # (the reference re-reads the dense adjacency per view, layers.py:306-310)
+    agg_all = sig_all = None
+    if hasattr(ops, "multi_aggregate"):
+        sig_all = jnp.stack(
+            [ops.scores(params["blocks"][v]["att"], VIEW_REL_COLUMNS[v])
+             for v in range(5)], axis=-1)                    # [N, D, 5]
+        agg_all = ops.multi_aggregate(sig_all, x)            # [N, 5, F]
     xs, sigs, new_bstates = [], [], []
     for v in range(5):
         h, sig, bs = view_block_apply(
             params["blocks"][v], state["blocks"][v], ops, batch, x,
             VIEW_REL_COLUMNS[v], drop_rate, train, rngs[v], axis_name,
+            precomputed_agg=None if agg_all is None else agg_all[:, v, :],
+            precomputed_sig=None if sig_all is None else sig_all[:, :, v],
         )
         xs.append(h)
         sigs.append(sig)
@@ -173,9 +187,9 @@ def multiview_layer_apply(
 
 
 def _edge_presence(ops: GraphOps) -> jnp.ndarray:
-    if isinstance(ops, EllOps):
-        return ops.neigh_mask
-    return ops.edge_mask  # CooOps
+    if hasattr(ops, "neigh_mask"):
+        return ops.neigh_mask    # ELL-layout backends
+    return ops.edge_mask         # COO layout
 
 
 def consensus_aggregate(consensus, ops: GraphOps, batch, x) -> jnp.ndarray:

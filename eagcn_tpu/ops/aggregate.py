@@ -34,41 +34,84 @@ class GraphOps(Protocol):
     def aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray: ...
 
 
-class EllOps:
-    """ELLPACK backend: weights live in [N, D] slot layout."""
+# --------------------------------------------------------------------------
+# scatter-free symmetric ELL aggregation (custom VJP)
+# --------------------------------------------------------------------------
+#
+# XLA differentiates a gather into a scatter-add, which serializes on TPU —
+# measured ~200x slower than the forward gather for this op.  Molecular
+# graphs are SYMMETRIC: every directed edge (i->j) has its mirror (j->i), so
+# the transpose A^T needed by the backward pass is reachable through the
+# SAME neighbour tables plus a precomputed "reverse slot" map
+# (`GraphBatch.neigh_rev`):  dx[j] = sum_d w[neigh[j,d], rev[j,d]] *
+# g[neigh[j,d]] — a pure gather.  The whole train step becomes scatter-free.
 
-    def __init__(self, neigh, neigh_rel, neigh_mask):
+@jax.custom_vjp
+def ell_multi_aggregate_sym(weights, x, neigh, neigh_rev, neigh_mask):
+    """out[n, v, f] = sum_d weights[n, d, v] * x[neigh[n, d], f]."""
+    return jnp.einsum("ndv,ndf->nvf", weights, x[neigh])
+
+
+def _ell_sym_fwd(weights, x, neigh, neigh_rev, neigh_mask):
+    out = jnp.einsum("ndv,ndf->nvf", weights, x[neigh])
+    return out, (weights, x, neigh, neigh_rev, neigh_mask)
+
+
+def _ell_sym_bwd(res, g):
+    weights, x, neigh, neigh_rev, neigh_mask = res
+    # dw[n,d,v] = sum_f x[neigh[n,d],f] * g[n,v,f]        (gather + contract)
+    dw = jnp.einsum("ndf,nvf->ndv", x[neigh], g)
+    # dx[j,f] = sum_{d,v} w[neigh[j,d], rev[j,d], v] * g[neigh[j,d], v, f]
+    w_t = weights[neigh, neigh_rev] * neigh_mask[:, :, None]   # [N, D, V]
+    dx = jnp.einsum("ndv,ndvf->nf", w_t, g[neigh])
+    return dw, dx, None, None, None
+
+
+ell_multi_aggregate_sym.defvjp(_ell_sym_fwd, _ell_sym_bwd)
+
+
+def edge_scores(att_w: jnp.ndarray, rel: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    """sigmoid(att_w[rel]) * mask, computed as a one-hot contraction so the
+    gradient w.r.t. the attention dictionary is a dense reduction instead
+    of XLA's serialized scatter-add histogram (TPU).  Equivalent to the
+    reference's 1x1 Conv2d over one-hot relation channels
+    (`layers.py:64,82`)."""
+    onehot = jax.nn.one_hot(rel, att_w.shape[0], dtype=att_w.dtype)
+    logits = jnp.einsum("...c,c->...", onehot, att_w)
+    return jax.nn.sigmoid(logits) * mask
+
+
+class EllOps:
+    """ELLPACK backend: weights live in [N, D] slot layout.  When a
+    reverse-slot table is provided, aggregation uses the scatter-free
+    custom VJP above."""
+
+    def __init__(self, neigh, neigh_rel, neigh_mask, neigh_rev=None):
         self.neigh = neigh          # [N, D] i32
         self.neigh_rel = neigh_rel  # [N, D, 5] i32
         self.neigh_mask = neigh_mask  # [N, D] f32
+        self.neigh_rev = neigh_rev  # [N, D] i32 or None
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
-        """sigmoid(att_w[rel]) per neighbour slot, masked.  Equivalent to
-        the reference's 1x1 Conv2d over one-hot relation channels followed
-        by sigmoid and adjacency masking (`layers.py:82-83`)."""
+        """Per-neighbour-slot attention scores (`layers.py:82-83`)."""
         rel = self.neigh_rel[:, :, rel_col]          # [N, D]
-        return jax.nn.sigmoid(att_w[rel]) * self.neigh_mask
+        return edge_scores(att_w, rel, self.neigh_mask)
 
     def rowsum(self, weights: jnp.ndarray) -> jnp.ndarray:
         return jnp.sum(weights, axis=1)
 
     def aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        gathered = x[self.neigh]                     # [N, D, F] gather
-        return jnp.einsum("nd,ndf->nf", weights, gathered)
-
-    def multi_scores(self, att_ws) -> jnp.ndarray:
-        """All five views' scores at once -> [N, D, 5] (shares the relation
-        lookup; used by the fused layer)."""
-        cols = []
-        for v, w in enumerate(att_ws):
-            rel = self.neigh_rel[:, :, v]
-            cols.append(jax.nn.sigmoid(w[rel]) * self.neigh_mask)
-        return jnp.stack(cols, axis=-1)
+        return self.multi_aggregate(weights[:, :, None], x)[:, 0, :]
 
     def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """weights [N, D, V], x [N, F] -> [N, V, F] with ONE gather shared
         across all V views (the reference re-reads the dense adjacency five
         times per layer; this reads node features once)."""
+        if self.neigh_rev is not None:
+            return ell_multi_aggregate_sym(
+                weights, x, self.neigh, self.neigh_rev, self.neigh_mask
+            )
         gathered = x[self.neigh]                     # [N, D, F]
         return jnp.einsum("ndv,ndf->nvf", weights, gathered)
 
@@ -85,7 +128,7 @@ class CooOps:
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
         rel = self.edge_rel[:, rel_col]
-        return jax.nn.sigmoid(att_w[rel]) * self.edge_mask
+        return edge_scores(att_w, rel, self.edge_mask)
 
     def rowsum(self, weights: jnp.ndarray) -> jnp.ndarray:
         return jax.ops.segment_sum(
@@ -102,7 +145,8 @@ class CooOps:
 def make_ops(batch, backend: str = "ell") -> GraphOps:
     """Builds the aggregation adapter for a GraphBatch."""
     if backend == "ell":
-        return EllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask)
+        return EllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask,
+                      neigh_rev=getattr(batch, "neigh_rev", None))
     if backend == "coo":
         return CooOps(
             batch.edge_src, batch.edge_dst, batch.edge_rel, batch.edge_mask,

@@ -1,0 +1,203 @@
+"""Edge-partitioned giant-graph aggregation with halo exchange.
+
+The long-context analogue for graphs (SURVEY §5): when ONE graph's edge set
+exceeds a chip (the 10-100M-edge synthetic stress configs in BASELINE.json),
+nodes are partitioned contiguously across the 'graph' mesh axis; each shard
+owns its nodes and their incoming edges.  Edge sources living on other
+shards are satisfied from a HALO BUFFER of remote node features exchanged
+over ICI before aggregation.
+
+v1 exchange strategy: `all_gather` of the sharded feature array followed by
+a static gather of each shard's halo ids — one fused XLA collective, optimal
+when halos are a large fraction of nodes (random graphs) and still correct
+when they are small.  A ppermute-ring variant that overlaps exchange with
+per-source-shard partial aggregation is the planned optimization
+(SURVEY §7.2 PR5).
+
+All tables are built host-side once (static shapes); the device path is pure
+gather/reduce, jit/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chem import MolGraph
+
+TINY = 1e-9
+
+
+@dataclasses.dataclass
+class PartitionedGraph:
+    """Giant graph partitioned over S shards (leading axis on every array).
+
+    `neigh` indexes a per-shard LOCAL buffer laid out as
+    [own nodes (Ns) | halo slots (H)]; `halo_ids` are GLOBAL node ids to
+    fill the halo slots from (via all-gather + take)."""
+    node_feat: np.ndarray    # [S, Ns, F]
+    neigh: np.ndarray        # [S, Ns, D] int32 into [0, Ns+H)
+    neigh_rel: np.ndarray    # [S, Ns, D, 5] int32
+    neigh_mask: np.ndarray   # [S, Ns, D] f32
+    halo_ids: np.ndarray     # [S, H] int32 global ids
+    halo_mask: np.ndarray    # [S, H] f32
+    node_mask: np.ndarray    # [S, Ns] f32
+    node_conn: np.ndarray    # [S, Ns] f32
+    node_tiny: np.ndarray    # [S, Ns] f32
+
+    @property
+    def num_shards(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def nodes_per_shard(self) -> int:
+        return self.node_feat.shape[1]
+
+    @property
+    def halo_size(self) -> int:
+        return self.halo_ids.shape[1]
+
+
+import jax.tree_util as _jtu
+
+_jtu.register_dataclass(
+    PartitionedGraph,
+    data_fields=[f.name for f in dataclasses.fields(PartitionedGraph)],
+    meta_fields=[],
+)
+
+
+def partition_giant_graph(
+    g: MolGraph, n_shards: int, max_degree: int = 8
+) -> PartitionedGraph:
+    """Host-side partitioner: contiguous node ranges, per-shard ELL tables,
+    deduplicated halo id lists padded to the max across shards."""
+    n = g.num_atoms
+    ns = -(-n // n_shards)            # nodes per shard (ceil)
+    n_pad = ns * n_shards
+
+    deg = np.zeros(n_pad, np.int32)
+    neigh_g = np.zeros((n_pad, max_degree), np.int32)
+    rel_g = np.zeros((n_pad, max_degree, 5), np.int32)
+    nmask_g = np.zeros((n_pad, max_degree), np.float32)
+    for k in range(g.num_bonds):
+        a, b = int(g.bonds[k, 0]), int(g.bonds[k, 1])
+        rel = g.bond_relations[k]
+        for (s, d) in ((a, b), (b, a)):
+            if deg[d] >= max_degree:
+                raise ValueError(f"node {d} exceeds max_degree {max_degree}")
+            neigh_g[d, deg[d]] = s
+            rel_g[d, deg[d]] = rel
+            nmask_g[d, deg[d]] = 1.0
+            deg[d] += 1
+
+    owner = lambda v: v // ns
+    halo_lists = []
+    for s in range(n_shards):
+        lo, hi = s * ns, (s + 1) * ns
+        remote = set()
+        for i in range(lo, min(hi, n)):
+            for d in range(deg[i]):
+                src = int(neigh_g[i, d])
+                if owner(src) != s:
+                    remote.add(src)
+        halo_lists.append(sorted(remote))
+    h = max((len(x) for x in halo_lists), default=0)
+    h = max(h, 1)
+
+    S = n_shards
+    feat = np.zeros((S, ns, g.atom_features.shape[1]), np.float32)
+    neigh = np.zeros((S, ns, max_degree), np.int32)
+    rels = np.zeros((S, ns, max_degree, 5), np.int32)
+    nmask = np.zeros((S, ns, max_degree), np.float32)
+    halo_ids = np.zeros((S, h), np.int32)
+    halo_mask = np.zeros((S, h), np.float32)
+    node_mask = np.zeros((S, ns), np.float32)
+    node_tiny = np.zeros((S, ns), np.float32)
+
+    for s in range(S):
+        lo = s * ns
+        cnt = min(ns, n - lo) if lo < n else 0
+        feat[s, :cnt] = g.atom_features[lo:lo + cnt]
+        node_mask[s, :cnt] = 1.0
+        remote_index = {v: ns + j for j, v in enumerate(halo_lists[s])}
+        halo_ids[s, : len(halo_lists[s])] = halo_lists[s]
+        halo_mask[s, : len(halo_lists[s])] = 1.0
+        for i in range(cnt):
+            gidx = lo + i
+            node_tiny[s, i] = (n - deg[gidx]) * TINY
+            for d in range(deg[gidx]):
+                src = int(neigh_g[gidx, d])
+                neigh[s, i, d] = (
+                    src - lo if owner(src) == s else remote_index[src]
+                )
+                rels[s, i, d] = rel_g[gidx, d]
+                nmask[s, i, d] = 1.0
+
+    node_conn = (nmask.sum(-1) > 0).astype(np.float32)
+    return PartitionedGraph(
+        node_feat=feat, neigh=neigh, neigh_rel=rels, neigh_mask=nmask,
+        halo_ids=halo_ids, halo_mask=halo_mask, node_mask=node_mask,
+        node_conn=node_conn, node_tiny=node_tiny,
+    )
+
+
+# --------------------------------------------------------------------------
+# device path (inside shard_map over the 'graph' axis)
+# --------------------------------------------------------------------------
+
+def halo_exchange(x_local: jnp.ndarray, halo_ids: jnp.ndarray,
+                  axis_name: str = "graph") -> jnp.ndarray:
+    """Fills the halo buffer: all-gather the sharded node features over ICI
+    and take this shard's needed rows.  x_local [Ns, F] -> halo [H, F]."""
+    xg = jax.lax.all_gather(x_local, axis_name)      # [S, Ns, F]
+    flat = xg.reshape(-1, x_local.shape[-1])          # [S*Ns, F]
+    return flat[halo_ids]
+
+
+def halo_edge_attention_aggregate(
+    part_local,                      # PartitionedGraph leaves w/o shard axis
+    x_local: jnp.ndarray,            # [Ns, F]
+    att_w: jnp.ndarray,              # [C] attention dictionary for one view
+    self_r: jnp.ndarray,             # scalar
+    rel_col: int = 0,
+    axis_name: str = "graph",
+) -> jnp.ndarray:
+    """One edge-attention SpMM over the partitioned graph: identical math to
+    the single-device view block (`models/layers.py`), sources resolved
+    through the halo buffer."""
+    halo = halo_exchange(x_local, part_local.halo_ids, axis_name)
+    buffer = jnp.concatenate([x_local, halo], axis=0)      # [Ns+H, F]
+    rel = part_local.neigh_rel[:, :, rel_col]
+    sig = jax.nn.sigmoid(att_w[rel]) * part_local.neigh_mask
+    sr = jax.nn.sigmoid(self_r)
+    conn = part_local.node_conn
+    denom = sig.sum(-1) + sr * conn + part_local.node_tiny + (1 - conn)
+    gathered = buffer[part_local.neigh]                    # [Ns, D, F]
+    agg = jnp.einsum("nd,ndf->nf", sig, gathered)
+    return (agg + (sr * conn)[:, None] * x_local) / denom[:, None] * conn[:, None]
+
+
+def make_partitioned_spmm(mesh, att_dim: int, rel_col: int = 0):
+    """Builds the jitted shard_map'd multi-shard SpMM:
+    (part [S,...], x [S,Ns,F], att_w [C], self_r) -> out [S,Ns,F]."""
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(part, x, att_w, self_r):
+        local_part = jax.tree_util.tree_map(lambda a: a[0], part)
+        out = halo_edge_attention_aggregate(
+            local_part, x[0], att_w, self_r, rel_col
+        )
+        return out[None]
+
+    return jax.jit(jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("graph"), P("graph"), P(), P()),
+        out_specs=P("graph"),
+        check_vma=False,
+    ))

@@ -97,16 +97,26 @@ class Experiment:
         payload = self.ckpt.restore()
         if payload is None:
             return False
-        self.params = payload["params"]
-        self.state = payload["state"]
-        self.opt_state = jax.tree_util.tree_map(
-            lambda ref, new: np.asarray(new).astype(np.asarray(ref).dtype)
-            if hasattr(ref, "dtype") else new,
-            self.opt_state, payload["opt_state"],
-        )
+
+        def _rebuild(reference, restored):
+            # orbax may change container types (tuple->list, list->dict);
+            # unflatten restored leaves against the live structure
+            leaves, treedef = jax.tree_util.tree_flatten(reference)
+            new_leaves = jax.tree_util.tree_leaves(restored)
+            assert len(leaves) == len(new_leaves), "checkpoint shape mismatch"
+            return jax.tree_util.tree_unflatten(
+                treedef, [np.asarray(l) for l in new_leaves]
+            )
+
+        self.params = _rebuild(self.params, payload["params"])
+        self.state = _rebuild(self.state, payload["state"])
+        self.opt_state = _rebuild(self.opt_state, payload["opt_state"])
         self.start_epoch = int(payload["epoch"]) + 1
         self.global_step = int(payload.get("global_step", 0))
-        self.val_history = [float(v) for v in payload.get("val_history", [])]
+        self.val_history = [
+            float(v) for v in payload.get("val_history", [])
+            if np.isfinite(v)
+        ]
         self.logger.write_text(f"resumed from epoch {self.start_epoch}")
         return True
 
@@ -119,7 +129,10 @@ class Experiment:
             "opt_state": self.opt_state,
             "epoch": epoch,
             "global_step": self.global_step,
-            "val_history": np.asarray(self.val_history, dtype=np.float64),
+            # nan sentinel keeps the array non-empty (orbax rejects size-0)
+            "val_history": np.asarray(
+                self.val_history + [np.nan], dtype=np.float64
+            ),
         })
 
     # ------------------------------------------------------------------
