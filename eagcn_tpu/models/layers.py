@@ -300,7 +300,8 @@ def gat_layer_apply(params, state, ops, batch, x, drop_rate, train, rng,
     if train and rng is not None:
         att = dropout(att, 0.5, rng, train)           # layers.py:134
     neigh_att, self_att = att[:, :-1], att[:, -1]
-    out = jnp.einsum("nd,ndf->nf", neigh_att, h[ops.neigh])
+    # ops.aggregate routes through the scatter-free custom VJP
+    out = ops.aggregate(neigh_att * ops.neigh_mask, h)
     out = out + self_att[:, None] * h
     rng2 = jax.random.fold_in(rng, 1) if rng is not None else None
     out = dropout(out, drop_rate, rng2, train)        # layers.py:197

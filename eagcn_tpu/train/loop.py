@@ -33,6 +33,32 @@ from .metrics import masked_multitask_auc, rmse
 from .steps import make_eval_step, make_optimizer, make_train_step
 
 
+def _prefetch(iterator, depth: int = 2):
+    """Host-side pipeline: packs the next batch(es) on a worker thread
+    while the device runs the current step (the reference blocks the GPU on
+    its Python collate every step, `utils.py:504-640`)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 class Experiment:
     """One training run.  Usage:
         exp = Experiment(cfg)
@@ -136,11 +162,29 @@ class Experiment:
         })
 
     # ------------------------------------------------------------------
+    def _eval_batches(self, indices: np.ndarray):
+        """Eval splits are static — pack them once and reuse every epoch.
+        Large splits (e.g. the HIV train split) are streamed instead of
+        cached to bound device memory."""
+        if len(indices) > 8192:
+            return (batch_to_jax(b) for b in
+                    iter_batches(self.ds, indices, self.batch_shape))
+        key = (int(indices[0]), int(indices[-1]), len(indices))
+        cache = getattr(self, "_eval_cache", None)
+        if cache is None:
+            cache = self._eval_cache = {}
+        if key not in cache:
+            cache[key] = [
+                batch_to_jax(b)
+                for b in iter_batches(self.ds, indices, self.batch_shape)
+            ]
+        return cache[key]
+
     def evaluate(self, indices: np.ndarray) -> Dict:
         """Full sweep -> metric dict (AUC list+mean or RMSE)."""
         preds, trues = [], []
-        for batch in iter_batches(self.ds, indices, self.batch_shape):
-            p, _, _ = self.eval_step(self.params, self.state, batch_to_jax(batch))
+        for batch in self._eval_batches(indices):
+            p, _, _ = self.eval_step(self.params, self.state, batch)
             keep = np.asarray(batch.mol_mask) > 0
             preds.append(np.asarray(p)[keep])
             trues.append(np.asarray(batch.labels)[keep])
@@ -182,10 +226,11 @@ class Experiment:
             epoch_rng = np.random.default_rng([t.seed, epoch])
             t0 = time.time()
             losses = []
-            for batch in iter_batches(
+            batches = _prefetch(iter_batches(
                 self.ds, self.train_idx, self.batch_shape,
                 shuffle=True, rng=epoch_rng,
-            ):
+            ))
+            for batch in batches:
                 step_key = jax.random.fold_in(self.drop_key, self.global_step)
                 self.params, self.state, self.opt_state, loss = self.train_step(
                     self.params, self.state, self.opt_state,
