@@ -27,6 +27,19 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# persistent compilation cache: the remote-compile path of this environment
+# takes minutes per program; cache hits make repeat runs fast
+try:
+    import os as _os
+
+    _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           ".jax_cache")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

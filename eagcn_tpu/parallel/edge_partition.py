@@ -182,6 +182,134 @@ def halo_edge_attention_aggregate(
     return (agg + (sr * conn)[:, None] * x_local) / denom[:, None] * conn[:, None]
 
 
+# --------------------------------------------------------------------------
+# ring-ppermute variant: overlap halo exchange with partial aggregation
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RingPartitionedGraph:
+    """Per-round ELL tables: in ring round r each shard holds the node block
+    of shard (s - r) mod S and aggregates exactly the edges whose source
+    lives there.  `neigh_round[r]` indexes INTO THAT BLOCK; round 0 is the
+    local block.  XLA overlaps the next `ppermute` with the current round's
+    aggregation (no data dependence)."""
+    node_feat: np.ndarray      # [S, Ns, F]
+    neigh_round: np.ndarray    # [S, R, Ns, D] block-local source index
+    rel_round: np.ndarray      # [S, R, Ns, D] relation id (view 0)
+    mask_round: np.ndarray     # [S, R, Ns, D]
+    node_mask: np.ndarray      # [S, Ns]
+    node_conn: np.ndarray      # [S, Ns]
+    node_tiny: np.ndarray      # [S, Ns]
+
+
+_jtu.register_dataclass(
+    RingPartitionedGraph,
+    data_fields=[f.name for f in dataclasses.fields(RingPartitionedGraph)],
+    meta_fields=[],
+)
+
+
+def partition_giant_graph_ring(
+    g: MolGraph, n_shards: int, max_degree: int = 8, rel_col: int = 0,
+) -> RingPartitionedGraph:
+    n = g.num_atoms
+    ns = -(-n // n_shards)
+    S, R = n_shards, n_shards
+    feat = np.zeros((S, ns, g.atom_features.shape[1]), np.float32)
+    neigh_round = np.zeros((S, R, ns, max_degree), np.int32)
+    rel_round = np.zeros((S, R, ns, max_degree), np.int32)
+    mask_round = np.zeros((S, R, ns, max_degree), np.float32)
+    node_mask = np.zeros((S, ns), np.float32)
+    node_tiny = np.zeros((S, ns), np.float32)
+    deg = np.zeros(n, np.int32)
+    slots = np.zeros((S, ns), np.int32)  # per-dst slot cursor (shared
+    # across rounds so total slots per node never exceed max_degree)
+
+    def add_dir(src: int, dst: int, rel: int):
+        s_dst, i_dst = dst // ns, dst % ns
+        s_src, i_src = src // ns, src % ns
+        r = (s_dst - s_src) % S
+        d = slots[s_dst, i_dst]
+        if d >= max_degree:
+            raise ValueError(f"node {dst} exceeds max_degree {max_degree}")
+        neigh_round[s_dst, r, i_dst, d] = i_src
+        rel_round[s_dst, r, i_dst, d] = rel
+        mask_round[s_dst, r, i_dst, d] = 1.0
+        slots[s_dst, i_dst] += 1
+        deg[dst] += 1
+
+    for k in range(g.num_bonds):
+        a, b = int(g.bonds[k, 0]), int(g.bonds[k, 1])
+        rel = int(g.bond_relations[k, rel_col])
+        add_dir(b, a, rel)
+        add_dir(a, b, rel)
+
+    for s in range(S):
+        lo = s * ns
+        cnt = min(ns, n - lo) if lo < n else 0
+        feat[s, :cnt] = g.atom_features[lo:lo + cnt]
+        node_mask[s, :cnt] = 1.0
+        node_tiny[s, :cnt] = (n - deg[lo:lo + cnt]) * TINY
+    node_conn = (slots > 0).astype(np.float32) * node_mask
+    return RingPartitionedGraph(
+        node_feat=feat, neigh_round=neigh_round, rel_round=rel_round,
+        mask_round=mask_round, node_mask=node_mask, node_conn=node_conn,
+        node_tiny=node_tiny,
+    )
+
+
+def ring_edge_attention_aggregate(
+    part_local,                     # RingPartitionedGraph leaves, no S axis
+    x_local: jnp.ndarray,           # [Ns, F]
+    att_w: jnp.ndarray,
+    self_r: jnp.ndarray,
+    axis_name: str = "graph",
+    n_shards: int = 1,
+) -> jnp.ndarray:
+    """Ring-overlap SpMM: round r aggregates from the block received after
+    r hops while the next hop's `ppermute` is in flight."""
+    sr = jax.nn.sigmoid(self_r)
+    conn = part_local.node_conn
+    ns, f = x_local.shape
+    agg = jnp.zeros((ns, f), jnp.float32)
+    denom_edges = jnp.zeros((ns,), jnp.float32)
+    block = x_local
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    from ..ops.aggregate import edge_scores
+
+    for r in range(n_shards):
+        sig = edge_scores(att_w, part_local.rel_round[r],
+                          part_local.mask_round[r])   # [Ns, D]
+        gathered = block[part_local.neigh_round[r]]   # [Ns, D, F]
+        agg = agg + jnp.einsum("nd,ndf->nf", sig, gathered)
+        denom_edges = denom_edges + sig.sum(-1)
+        if r + 1 < n_shards:
+            # send our current block one hop forward; receive the previous
+            # shard's — independent of this round's einsum, so XLA overlaps
+            block = jax.lax.ppermute(block, axis_name, perm)
+    denom = denom_edges + sr * conn + part_local.node_tiny + (1 - conn)
+    return (agg + (sr * conn)[:, None] * x_local) / denom[:, None] * conn[:, None]
+
+
+def make_ring_spmm(mesh, n_shards: int):
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(part, x, att_w, self_r):
+        local = jax.tree_util.tree_map(lambda a: a[0], part)
+        out = ring_edge_attention_aggregate(
+            local, x[0], att_w, self_r, n_shards=n_shards
+        )
+        return out[None]
+
+    return jax.jit(jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("graph"), P("graph"), P(), P()),
+        out_specs=P("graph"),
+        check_vma=False,
+    ))
+
+
 def make_partitioned_spmm(mesh, att_dim: int, rel_col: int = 0):
     """Builds the jitted shard_map'd multi-shard SpMM:
     (part [S,...], x [S,Ns,F], att_w [C], self_r) -> out [S,Ns,F]."""
