@@ -233,12 +233,23 @@ def main():
     log(f"sparse mega-graph train step: {sparse_dt*1e3:.2f} ms -> "
         f"{sparse_eps/1e6:.2f}M edges/s")
 
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("dense baseline exceeded time budget")
+
     try:
+        # watchdog: the remote-compile path can take minutes; never let the
+        # baseline hang the harness
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(900)
         dense_eps, dense_dt = bench_dense(cfg, graphs, labels, real_edges)
+        signal.alarm(0)
         log(f"dense reference-algorithm step: {dense_dt*1e3:.2f} ms -> "
             f"{dense_eps/1e6:.2f}M edges/s")
         vs = sparse_eps / dense_eps
-    except Exception as e:  # OOM on big dense tensors etc.
+    except Exception as e:  # OOM on big dense tensors, compile timeout, ...
+        signal.alarm(0)
         log(f"dense baseline failed: {type(e).__name__}: {e}")
         vs = float("nan")
 

@@ -59,11 +59,21 @@ def _ell_sym_fwd(weights, x, neigh, neigh_rev, neigh_mask):
 
 def _ell_sym_bwd(res, g):
     weights, x, neigh, neigh_rev, neigh_mask = res
-    # dw[n,d,v] = sum_f x[neigh[n,d],f] * g[n,v,f]        (gather + contract)
-    dw = jnp.einsum("ndf,nvf->ndv", x[neigh], g)
-    # dx[j,f] = sum_{d,v} w[neigh[j,d], rev[j,d], v] * g[neigh[j,d], v, f]
+    v_views = weights.shape[2]
+    # transpose weights via reverse slots (pure gather)
     w_t = weights[neigh, neigh_rev] * neigh_mask[:, :, None]   # [N, D, V]
-    dx = jnp.einsum("ndv,ndvf->nf", w_t, g[neigh])
+    xg = x[neigh]                                              # [N, D, F]
+    # per-view 3D forms mirror the (fast) forward lowering; the fused
+    # [N,D,V,F] einsum forces XLA layout transposes of GB-sized tensors
+    dw_cols = []
+    dx = jnp.zeros_like(x)
+    for v in range(v_views):
+        gv = g[:, v, :]                                        # [N, F]
+        # dw[n,d,v] = sum_f x[neigh[n,d],f] * g[n,v,f]
+        dw_cols.append(jnp.einsum("ndf,nf->nd", xg, gv))
+        # dx[j,f] += sum_d w_t[j,d,v] * g[neigh[j,d],v,f]
+        dx = dx + jnp.einsum("nd,ndf->nf", w_t[:, :, v], gv[neigh])
+    dw = jnp.stack(dw_cols, axis=-1)
     return dw, dx, None, None, None
 
 
@@ -72,14 +82,15 @@ ell_multi_aggregate_sym.defvjp(_ell_sym_fwd, _ell_sym_bwd)
 
 def edge_scores(att_w: jnp.ndarray, rel: jnp.ndarray,
                 mask: jnp.ndarray) -> jnp.ndarray:
-    """sigmoid(att_w[rel]) * mask, computed as a one-hot contraction so the
-    gradient w.r.t. the attention dictionary is a dense reduction instead
-    of XLA's serialized scatter-add histogram (TPU).  Equivalent to the
-    reference's 1x1 Conv2d over one-hot relation channels
-    (`layers.py:64,82`)."""
+    """sigmoid over the relation dictionary — the reference's 1x1 Conv2d
+    over one-hot channels (`layers.py:64,82`).  Computed as a one-hot
+    contraction: the embedding-lookup formulation's backward is a
+    scatter-add histogram measured at ~0.4 ms per instance on TPU (~8 ms
+    per step across 20 view blocks); the contraction's backward is a dense
+    reduction.  The one-hot has integer input, so it is constant-folded
+    out of the autodiff graph."""
     onehot = jax.nn.one_hot(rel, att_w.shape[0], dtype=att_w.dtype)
-    logits = jnp.einsum("...c,c->...", onehot, att_w)
-    return jax.nn.sigmoid(logits) * mask
+    return jax.nn.sigmoid(onehot @ att_w) * mask
 
 
 class EllOps:

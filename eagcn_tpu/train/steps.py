@@ -36,7 +36,16 @@ def make_train_step(
     tx: optax.GradientTransformation,
     class_weights=None,
     axis_name: Optional[str] = None,
+    split: bool = True,
 ) -> Callable:
+    """Builds the train step.
+
+    `split=True` (default for the single-device path) compiles the step as
+    TWO programs — value_and_grad, then optimizer-update — instead of one:
+    this environment's remote TPU compiler handles each in a couple of
+    minutes but effectively hangs on the fused-and-donated single program.
+    The extra dispatch is hidden by async dispatch pipelining.  shard_map
+    callers always receive the fused single-function form."""
     cw = None if class_weights is None else jnp.asarray(class_weights)
 
     def loss_fn(params, state, batch, rng):
@@ -61,9 +70,27 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss
 
-    if axis_name is None:
+    if axis_name is not None:
+        return step  # caller wraps in shard_map and jits
+
+    if not split:
         return jax.jit(step, donate_argnums=(0, 1, 2))
-    return step  # caller wraps in shard_map and jits
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
+                      donate_argnums=(1,))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def update_fn(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    def split_step(params, state, opt_state, batch, rng):
+        (loss, new_state), grads = grad_fn(params, state, batch, rng)
+        params, opt_state = update_fn(params, opt_state, grads)
+        return params, new_state, opt_state, loss
+
+    return split_step
 
 
 def make_eval_step(cfg: ModelConfig, task_type: str) -> Callable:
