@@ -59,3 +59,15 @@ def rmse(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     y_true = np.asarray(y_true, dtype=np.float64).ravel()
     y_pred = np.asarray(y_pred, dtype=np.float64).ravel()
     return float(np.sqrt(np.mean((y_true - y_pred) ** 2)))
+
+
+def r_squared(x: np.ndarray, y: np.ndarray) -> float:
+    """Squared Pearson correlation (the reference's `rsquared`,
+    `utils.py:715-718`, via scipy.linregress)."""
+    x = np.asarray(x, dtype=np.float64).ravel()
+    y = np.asarray(y, dtype=np.float64).ravel()
+    xc, yc = x - x.mean(), y - y.mean()
+    denom = np.sqrt((xc * xc).sum() * (yc * yc).sum())
+    if denom == 0:
+        return float("nan")
+    return float(((xc * yc).sum() / denom) ** 2)
