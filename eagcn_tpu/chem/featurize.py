@@ -28,7 +28,6 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .mol import (
-    AROMATIC,
     AtomError,
     FeaturizeError,
     GraphError,

@@ -27,7 +27,6 @@ from typing import List, Set, Tuple
 
 from .mol import (
     AROMATIC,
-    Atom,
     Bond,
     DOUBLE,
     HYB_OTHER,

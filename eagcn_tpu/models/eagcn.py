@@ -25,7 +25,6 @@ from ..data.batching import GraphBatch
 from ..ops.aggregate import make_ops, segment_readout
 from ..utils.config import ModelConfig
 from .layers import (
-    consensus_aggregate,
     dense_apply,
     dropout,
     gat_layer_apply,

@@ -22,12 +22,12 @@ Sparse re-design of `eagcn_pytorch/layers.py`:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.aggregate import EllOps, GraphOps, make_ops
+from ..ops.aggregate import EllOps, GraphOps
 from .norm import batch_norm_apply, init_batch_norm
 
 Params = Dict

@@ -19,7 +19,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..data.batching import BatchShape, GraphBatch, GraphBatcher
 from ..data.dataset import FeaturizedDataset
 from ..utils.config import ModelConfig
-from .mesh import make_mesh  # noqa: F401  (re-export convenience)
 
 
 def stack_batches(shards: Sequence[GraphBatch]) -> GraphBatch:

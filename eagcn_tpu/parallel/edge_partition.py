@@ -21,7 +21,6 @@ gather/reduce, jit/shard_map friendly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

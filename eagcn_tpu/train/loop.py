@@ -15,7 +15,6 @@ import jax
 import numpy as np
 
 from ..data import (
-    BatchShape,
     FeaturizedDataset,
     batch_to_jax,
     bce_class_weights,
@@ -218,9 +217,8 @@ class Experiment:
         if resume:
             self.maybe_resume()
         self.logger.log("config", **dataclasses.asdict(self.cfg))
-        rng = np.random.default_rng(t.seed)
         stop = False
-        epoch = self.start_epoch
+        epoch = max(self.start_epoch - 1, 0)
         for epoch in range(self.start_epoch, t.num_epochs):
             # data order derives from (seed, epoch) for deterministic resume
             epoch_rng = np.random.default_rng([t.seed, epoch])

@@ -9,7 +9,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 STRUCTURES = ("Concate", "Weighted_sum", "GCN", "GAT")   # train.py:28
 MOLFP_MODES = ("sum", "ave", "pool")                      # train.py:29
