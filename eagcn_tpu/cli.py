@@ -29,6 +29,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="override the benchmark epoch count")
     p.add_argument("--lr", default=None, type=float)
     p.add_argument("--backend", default="ell", choices=["ell", "coo", "pallas"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 activations through the graph layers")
     p.add_argument("--out-dir", default="runs")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", default=0, type=int)
@@ -55,6 +57,7 @@ def cmd_train(args) -> int:
     )
     cfg.model.molfp_mode = args.molfp
     cfg.model.backend = args.backend
+    cfg.model.bf16 = args.bf16
     cfg.out_dir = args.out_dir
     if args.epochs is not None:
         cfg.train.num_epochs = args.epochs

@@ -123,7 +123,10 @@ def apply_eagcn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, State]:
     """Forward pass -> (logits [B,T], atom_reps [N,2*ngc2],
     graph_rep [B,n_den2], new_state).  Mirrors `models.py:96-121`."""
-    ops = make_ops(batch, cfg.backend)
+    ops = make_ops(
+        batch, cfg.backend,
+        compute_dtype=jnp.bfloat16 if cfg.bf16 else None,
+    )
     x = batch.node_feat
     new_state: State = {"layers": []}
     rngs = jax.random.split(rng, 6) if rng is not None else [None] * 6
@@ -154,6 +157,8 @@ def apply_eagcn(
             )
             new_state["layers"].append(s)
 
+    # readout / head / metrics run fp32 regardless of the bf16 graph path
+    x = x.astype(jnp.float32)
     atom_reps = x
     B = batch.labels.shape[0]
 

@@ -97,6 +97,11 @@ def view_block_apply(
     )
     h = jax.nn.relu(h_bn)
     h = dropout(h, drop_rate, rng, train)
+    dt = getattr(ops, "compute_dtype", None)
+    if dt is not None:
+        # store block activations at compute width so the NEXT layer's
+        # gathers read half-width rows (BN/matmul above accumulated fp32)
+        h = h.astype(dt)
     return h, sig, {"bn": bn_state}
 
 
@@ -164,10 +169,12 @@ def multiview_layer_apply(
         new_bstates.append(bs)
 
     conn = batch.node_conn
+    act_dt = xs[0].dtype
     if structure == "Concate":
-        fused = jnp.concatenate(xs, axis=-1) * conn[:, None]   # mask3,:313
-    elif structure == "Weighted_sum":
-        fused = sum(params["ave"][v] * xs[v] for v in range(5))  # :314-316
+        fused = jnp.concatenate(xs, axis=-1) * conn[:, None].astype(act_dt)
+    elif structure == "Weighted_sum":                          # :313-316
+        fused = sum(params["ave"][v].astype(act_dt) * xs[v]
+                    for v in range(5))
     else:
         raise ValueError(f"unknown structure {structure!r}")
 
@@ -255,6 +262,9 @@ def gcn_layer_apply(params, state, ops, batch, x, drop_rate, train, rng,
     )
     h = jax.nn.relu(h_bn)
     h = dropout(h, drop_rate, rng, train)
+    dt = getattr(ops, "compute_dtype", None)
+    if dt is not None:
+        h = h.astype(dt)
     return h, {"bn": bn_state}
 
 
@@ -306,4 +316,7 @@ def gat_layer_apply(params, state, ops, batch, x, drop_rate, train, rng,
     rng2 = jax.random.fold_in(rng, 1) if rng is not None else None
     out = dropout(out, drop_rate, rng2, train)        # layers.py:197
     out = jax.nn.relu(out)                            # layers.py:198
+    dt = getattr(ops, "compute_dtype", None)
+    if dt is not None:
+        out = out.astype(dt)
     return out, {}

@@ -48,33 +48,44 @@ class GraphOps(Protocol):
 
 @jax.custom_vjp
 def ell_multi_aggregate_sym(weights, x, neigh, neigh_rev, neigh_mask):
-    """out[n, v, f] = sum_d weights[n, d, v] * x[neigh[n, d], f]."""
-    return jnp.einsum("ndv,ndf->nvf", weights, x[neigh])
+    """out[n, v, f] = sum_d weights[n, d, v] * x[neigh[n, d], f].
+
+    Inputs may be bf16 (the bandwidth-bound gathers then read half the
+    bytes); accumulation is always fp32."""
+    return jnp.einsum("ndv,ndf->nvf", weights, x[neigh],
+                      preferred_element_type=jnp.float32)
 
 
 def _ell_sym_fwd(weights, x, neigh, neigh_rev, neigh_mask):
-    out = jnp.einsum("ndv,ndf->nvf", weights, x[neigh])
+    out = jnp.einsum("ndv,ndf->nvf", weights, x[neigh],
+                     preferred_element_type=jnp.float32)
     return out, (weights, x, neigh, neigh_rev, neigh_mask)
 
 
 def _ell_sym_bwd(res, g):
     weights, x, neigh, neigh_rev, neigh_mask = res
     v_views = weights.shape[2]
+    # cotangents flow in the inputs' dtype (bf16 halves the backward
+    # gathers too); reductions accumulate fp32
+    g = g.astype(x.dtype)
     # transpose weights via reverse slots (pure gather)
-    w_t = weights[neigh, neigh_rev] * neigh_mask[:, :, None]   # [N, D, V]
+    w_t = weights[neigh, neigh_rev] * neigh_mask[:, :, None].astype(
+        weights.dtype)                                         # [N, D, V]
     xg = x[neigh]                                              # [N, D, F]
     # per-view 3D forms mirror the (fast) forward lowering; the fused
     # [N,D,V,F] einsum forces XLA layout transposes of GB-sized tensors
     dw_cols = []
-    dx = jnp.zeros_like(x)
+    dx = jnp.zeros(x.shape, jnp.float32)
     for v in range(v_views):
         gv = g[:, v, :]                                        # [N, F]
         # dw[n,d,v] = sum_f x[neigh[n,d],f] * g[n,v,f]
-        dw_cols.append(jnp.einsum("ndf,nf->nd", xg, gv))
+        dw_cols.append(jnp.einsum("ndf,nf->nd", xg, gv,
+                                  preferred_element_type=jnp.float32))
         # dx[j,f] += sum_d w_t[j,d,v] * g[neigh[j,d],v,f]
-        dx = dx + jnp.einsum("nd,ndf->nf", w_t[:, :, v], gv[neigh])
-    dw = jnp.stack(dw_cols, axis=-1)
-    return dw, dx, None, None, None
+        dx = dx + jnp.einsum("nd,ndf->nf", w_t[:, :, v], gv[neigh],
+                             preferred_element_type=jnp.float32)
+    dw = jnp.stack(dw_cols, axis=-1).astype(weights.dtype)
+    return dw, dx.astype(x.dtype), None, None, None
 
 
 ell_multi_aggregate_sym.defvjp(_ell_sym_fwd, _ell_sym_bwd)
@@ -98,11 +109,16 @@ class EllOps:
     reverse-slot table is provided, aggregation uses the scatter-free
     custom VJP above."""
 
-    def __init__(self, neigh, neigh_rel, neigh_mask, neigh_rev=None):
+    def __init__(self, neigh, neigh_rel, neigh_mask, neigh_rev=None,
+                 compute_dtype=None):
         self.neigh = neigh          # [N, D] i32
         self.neigh_rel = neigh_rel  # [N, D, 5] i32
         self.neigh_mask = neigh_mask  # [N, D] f32
         self.neigh_rev = neigh_rev  # [N, D] i32 or None
+        # when set (bf16), aggregation inputs are cast before the gathers:
+        # the convert materializes once per layer while every gathered row
+        # is read at half width — a net HBM-bandwidth win on TPU
+        self.compute_dtype = compute_dtype
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
         """Per-neighbour-slot attention scores (`layers.py:82-83`)."""
@@ -118,13 +134,17 @@ class EllOps:
     def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """weights [N, D, V], x [N, F] -> [N, V, F] with ONE gather shared
         across all V views (the reference re-reads the dense adjacency five
-        times per layer; this reads node features once)."""
+        times per layer; this reads node features once).  Output is fp32."""
+        if self.compute_dtype is not None:
+            weights = weights.astype(self.compute_dtype)
+            x = x.astype(self.compute_dtype)
         if self.neigh_rev is not None:
             return ell_multi_aggregate_sym(
                 weights, x, self.neigh, self.neigh_rev, self.neigh_mask
             )
         gathered = x[self.neigh]                     # [N, D, F]
-        return jnp.einsum("ndv,ndf->nvf", weights, gathered)
+        return jnp.einsum("ndv,ndf->nvf", weights, gathered,
+                          preferred_element_type=jnp.float32)
 
 
 class CooOps:
@@ -153,11 +173,13 @@ class CooOps:
         )
 
 
-def make_ops(batch, backend: str = "ell") -> GraphOps:
-    """Builds the aggregation adapter for a GraphBatch."""
+def make_ops(batch, backend: str = "ell", compute_dtype=None) -> GraphOps:
+    """Builds the aggregation adapter for a GraphBatch.  `compute_dtype`
+    (bf16) is honoured by the ELL backend only; COO/Pallas stay fp32."""
     if backend == "ell":
         return EllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask,
-                      neigh_rev=getattr(batch, "neigh_rev", None))
+                      neigh_rev=getattr(batch, "neigh_rev", None),
+                      compute_dtype=compute_dtype)
     if backend == "coo":
         return CooOps(
             batch.edge_src, batch.edge_dst, batch.edge_rel, batch.edge_mask,

@@ -29,6 +29,7 @@ class ModelConfig:
     molfp_mode: str = "sum"
     pool_num: int = 5                 # models.py:25
     backend: str = "ell"              # aggregation backend
+    bf16: bool = False                # bf16 activations through graph layers
 
 
 @dataclass
@@ -45,7 +46,6 @@ class TrainConfig:
     early_stop_frac: float = 0.8      # last 1/5 of epochs, train.py:379,417
     seed: int = 0
     checkpoint_every: int = 0         # epochs; 0 = final only
-    bf16_matmul: bool = False
     num_data_shards: int = 1          # data-parallel shards (mesh axis)
 
 
