@@ -35,8 +35,11 @@ def initialize_multihost(
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
         kwargs["num_processes"] = int(
-            num_processes or os.environ["NUM_PROCESSES"])
-        kwargs["process_id"] = int(process_id or os.environ["PROCESS_ID"])
+            os.environ["NUM_PROCESSES"] if num_processes is None
+            else num_processes)
+        # NOTE: `process_id or env` would be wrong — 0 is a valid id
+        kwargs["process_id"] = int(
+            os.environ["PROCESS_ID"] if process_id is None else process_id)
     jax.distributed.initialize(**kwargs)
     return {
         "process_index": jax.process_index(),
