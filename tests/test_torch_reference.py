@@ -1,0 +1,265 @@
+"""Direct parity against the ACTUAL reference implementation.
+
+Imports `/root/reference/eagcn_pytorch/layers.py` (torch CPU) and drives
+the real `GraphConv_Layer` / `Dense` / BatchNorm stack of
+`models.py:96-121` on dense tensors built from OUR featurizer, with ONE
+set of weights transplanted into both models.  This catches semantic
+drift that a same-author numpy oracle cannot (VERDICT round 1, item 4).
+
+Design notes:
+* All test molecules have the SAME atom count, so the dense batch has no
+  padding rows -> the reference's padding-counting BatchNorm statistics
+  coincide with our masked BN, and the reference's per-batch-max tiny
+  mass (1-adj)*1e-9 row sums equal our per-molecule `node_tiny`.
+* Dropout is irrelevant: the torch model runs under `.train()` with p=0;
+  the JAX path runs train=True with rng=None.
+* The reference's off-neighbour tiny NUMERATOR mass (~1e-9 * sum x) is
+  deliberately dropped on our side (models/layers.py docstring); the
+  comparison tolerance (1e-4) is far above its effect (~1e-6 relative).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_DIR = "/root/reference/eagcn_pytorch"
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir(REF_DIR):
+    pytest.skip("reference checkout not present", allow_module_level=True)
+
+sys.path.insert(0, REF_DIR)
+import layers as ref_layers  # noqa: E402  (the reference module itself)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from eagcn_tpu.chem import dense_relation_tensors, featurize_smiles  # noqa: E402
+from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax  # noqa: E402
+from eagcn_tpu.models import apply_eagcn, init_eagcn  # noqa: E402
+from eagcn_tpu.utils.config import ModelConfig  # noqa: E402
+
+# eight 6-heavy-atom molecules (equal size -> no dense padding)
+SMILES = [
+    "CCCCCC", "CCCCCO", "CCCCOC", "C1CCCCC1",
+    "c1ccccc1", "NCCCCO", "CC(C)CCO", "CCOC(C)C",
+][:8]
+BOND_TYPES = ["6_6", "6_8", "6_7"]  # C-C, C-O, C-N
+N_BFEAT = len(BOND_TYPES) + 1       # + 'Others' fill slot
+
+
+def build_graphs():
+    graphs = [featurize_smiles(s, BOND_TYPES) for s in SMILES]
+    sizes = {g.num_atoms for g in graphs}
+    assert len(sizes) == 1, f"test molecules must be equal-sized, got {sizes}"
+    return graphs
+
+
+def build_dense_batch(graphs):
+    B = len(graphs)
+    N = graphs[0].num_atoms
+    F = graphs[0].atom_features.shape[1]
+    adj = np.zeros((B, N, N), np.float32)
+    afm = np.zeros((B, N, F), np.float32)
+    rels = [np.zeros((B, c, N, N), np.float32)
+            for c in (N_BFEAT, 4, 2, 2, 2)]
+    for b, g in enumerate(graphs):
+        a, t, o, ar, cj, rg = dense_relation_tensors(g, N_BFEAT)
+        adj[b] = a
+        afm[b] = g.atom_features
+        for dst, src in zip(rels, (t, o, ar, cj, rg)):
+            dst[b] = src
+    return adj, afm, rels
+
+
+class RefEAGCN(torch.nn.Module):
+    """The reference model stack, transcribed MINIMALLY from
+    `models.py:26-121` (only to avoid `from utils import *` pulling in
+    RDKit, which is absent) — every layer is the reference's own class."""
+
+    def __init__(self, cfg: ModelConfig):
+        super().__init__()
+        ngc1, ngc2 = sum(cfg.sgc1), sum(cfg.sgc2)
+        if cfg.structure == "Weighted_sum":
+            s1 = (ngc1,) * 5
+            s2 = (ngc2,) * 5
+        else:
+            s1, s2 = cfg.sgc1, cfg.sgc2
+        mk = lambda f_in, outs, last=False: ref_layers.GraphConv_Layer(
+            node_feature_in=f_in, bond_feature_num=cfg.n_bfeat,
+            node_out_1=outs[0], node_out_2=outs[1], node_out_3=outs[2],
+            node_out_4=outs[3], node_out_5=outs[4], dropout=cfg.dropout,
+            structure=cfg.structure, last=last)
+        self.layer1 = mk(cfg.n_afeat, s1)
+        self.layer2 = mk(ngc1, s2)
+        self.layer3 = mk(ngc2, tuple(2 * w for w in s2))
+        self.layer4 = mk(2 * ngc2, tuple(2 * w for w in s2), last=True)
+        self.den1 = ref_layers.Dense(2 * ngc2, cfg.n_den1)
+        self.den2 = ref_layers.Dense(cfg.n_den1, cfg.n_den2)
+        self.den3 = ref_layers.Dense(cfg.n_den2, cfg.n_tasks)
+        self.Graph_BN = torch.nn.BatchNorm1d(2 * ngc2)
+        self.bn_den1 = torch.nn.BatchNorm1d(cfg.n_den1)
+        self.bn_den2 = torch.nn.BatchNorm1d(cfg.n_den2)
+        self.p_drop = cfg.dropout
+
+    def forward(self, adjs, afms, t, o, ar, cj, rg):
+        # models.py:96-121 (molfp_mode='sum')
+        x1, A = self.layer1(adjs, afms, t, o, ar, cj, rg)
+        x2, A = self.layer2(adjs, x1, t, o, ar, cj, rg)
+        x2, A = self.layer3(adjs, x2, t, o, ar, cj, rg)
+        x2, A = self.layer4(adjs, x2, t, o, ar, cj, rg)
+        atom_reps = x2
+        x = torch.sum(x2, 1)
+        x = self.Graph_BN(x)
+        x = self.den1(x)
+        x = torch.nn.functional.relu(self.bn_den1(x))
+        x = torch.nn.functional.dropout(x, p=self.p_drop,
+                                        training=self.training)
+        x = self.den2(x)
+        graph_rep = x
+        x = torch.nn.functional.relu(self.bn_den2(x))
+        x = self.den3(x)
+        return x, atom_reps, graph_rep
+
+
+def transplant(ref: RefEAGCN, params):
+    """Copy OUR initialized params into the torch reference model."""
+    sd = {}
+    for li, layer in enumerate([ref.layer1, ref.layer2, ref.layer3,
+                                ref.layer4]):
+        p = params["layers"][li]
+        for v in range(5):
+            blk = getattr(layer, f"block{v + 1}")
+            bp = p["blocks"][v]
+            blk.att.weight.data = torch.tensor(
+                np.asarray(bp["att"])[None, :, None, None])
+            blk.graph_conv.weight.data = torch.tensor(np.asarray(bp["w"]))
+            blk.graph_conv.bias.data = torch.tensor(np.asarray(bp["b"]))
+            blk.self_r.data = torch.tensor(
+                np.asarray(bp["self_r"]).reshape(1))
+            blk.batch_norm.bn.weight.data = torch.tensor(
+                np.asarray(bp["bn"]["scale"]))
+            blk.batch_norm.bn.bias.data = torch.tensor(
+                np.asarray(bp["bn"]["bias"]))
+        if "ave" in p:
+            layer.ave.weight.data = torch.tensor(np.asarray(p["ave"]))
+        if "ave_A" in p:
+            layer.ave_A.weight.data = torch.tensor(np.asarray(p["ave_A"]))
+            layer.self_r.data = torch.tensor(
+                np.asarray(p["self_r"]).reshape(1))
+    for name in ("den1", "den2", "den3"):
+        getattr(ref, name).weight.data = torch.tensor(
+            np.asarray(params[name]["w"]))
+    for tname, oname in (("Graph_BN", "graph_bn"), ("bn_den1", "bn_den1"),
+                         ("bn_den2", "bn_den2")):
+        bn = getattr(ref, tname)
+        bn.weight.data = torch.tensor(np.asarray(params[oname]["scale"]))
+        bn.bias.data = torch.tensor(np.asarray(params[oname]["bias"]))
+
+
+@pytest.mark.parametrize("structure", ["Concate", "Weighted_sum"])
+def test_forward_parity_vs_reference(structure):
+    graphs = build_graphs()
+    B = len(graphs)
+    n = graphs[0].num_atoms
+    cfg = ModelConfig(
+        n_bfeat=N_BFEAT, sgc1=(6, 5, 4, 5, 6), sgc2=(8, 7, 6, 7, 8),
+        n_den1=16, n_den2=12, n_tasks=3, dropout=0.0, structure=structure,
+    )
+    params, state = init_eagcn(jax.random.key(42), cfg)
+
+    # --- torch reference path (dense, model.train(): BN batch stats)
+    ref = RefEAGCN(cfg)
+    transplant(ref, params)
+    ref.train()
+    adj, afm, rels = build_dense_batch(graphs)
+    with torch.no_grad():
+        t_logits, t_atoms, t_graph = ref(
+            torch.tensor(adj), torch.tensor(afm),
+            *[torch.tensor(r) for r in rels])
+
+    # --- our sparse mega-graph path
+    labels = np.zeros((B, cfg.n_tasks), np.float32)
+    shape = BatchShape(num_nodes=B * n + 8, num_edges=4 * B * n,
+                       num_mols=B)
+    batch = GraphBatcher(shape).pack(graphs, labels, list(range(B)))
+    jbatch = batch_to_jax(batch)
+    logits, atom_reps, graph_rep, _ = apply_eagcn(
+        params, state, jbatch, cfg, train=True, rng=None)
+
+    # tolerance: pure fp32 accumulation noise (jax rsqrt vs torch sqrt in
+    # BN, fusion differences) compounds through 4 layers x 3 BN stacks to
+    # ~2e-4 on normalized activations; a semantic divergence (wrong mask,
+    # wrong rowsum, wrong stats) shows up at 1e-2+.
+    np.testing.assert_allclose(
+        np.asarray(logits), t_logits.numpy(), rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(graph_rep), t_graph.numpy(), rtol=1e-3, atol=5e-4)
+    # atom reps: packed rows are molecule-major, contiguous
+    ours = np.asarray(atom_reps)[: B * n].reshape(B, n, -1)
+    np.testing.assert_allclose(
+        ours, t_atoms.numpy(), rtol=1e-3, atol=5e-4)
+
+
+def test_grad_parity_vs_reference():
+    """Gradients through the full stack match torch autograd."""
+    graphs = build_graphs()
+    B = len(graphs)
+    n = graphs[0].num_atoms
+    cfg = ModelConfig(
+        n_bfeat=N_BFEAT, sgc1=(4, 4, 4, 4, 4), sgc2=(5, 5, 5, 5, 5),
+        n_den1=8, n_den2=8, n_tasks=2, dropout=0.0, structure="Concate",
+    )
+    params, state = init_eagcn(jax.random.key(7), cfg)
+    y = np.random.default_rng(0).normal(size=(B, cfg.n_tasks)).astype(
+        np.float32)
+
+    ref = RefEAGCN(cfg)
+    transplant(ref, params)
+    ref.train()
+    adj, afm, rels = build_dense_batch(graphs)
+    t_out, _, _ = ref(torch.tensor(adj), torch.tensor(afm),
+                      *[torch.tensor(r) for r in rels])
+    t_loss = ((t_out - torch.tensor(y)) ** 2).mean()
+    t_loss.backward()
+
+    labels = np.zeros((B, cfg.n_tasks), np.float32)
+    shape = BatchShape(num_nodes=B * n + 8, num_edges=4 * B * n, num_mols=B)
+    batch = GraphBatcher(shape).pack(graphs, labels, list(range(B)))
+    jbatch = batch_to_jax(batch)
+
+    def loss_fn(p):
+        logits, _, _, _ = apply_eagcn(p, state, jbatch, cfg, train=True,
+                                      rng=None)
+        return jnp.mean((logits - y) ** 2)
+
+    j_loss, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=1e-3)
+
+    def rel_l2(ours, theirs):
+        ours = np.asarray(ours, np.float64).ravel()
+        theirs = np.asarray(theirs, np.float64).ravel()
+        return np.linalg.norm(ours - theirs) / max(np.linalg.norm(theirs),
+                                                   1e-30)
+
+    # Gradient comparison uses normalized L2, not element-wise allclose:
+    # the BN-in-train-mode backward has (x-mean)/sigma^3 terms that amplify
+    # fp32 rounding noise on individual small elements to ~5e-2 relative
+    # (verified: the reference hard-casts to f32 via `.float()` so a full
+    # f64 cross-check is impossible).  A SEMANTIC divergence (wrong
+    # transpose, wrong mask, missing term) moves the whole vector — rel-L2
+    # jumps to O(1); noise stays < 1e-3.
+    blk = ref.layer2.block1
+    bp = grads["layers"][1]["blocks"][0]
+    assert rel_l2(bp["att"], blk.att.weight.grad.numpy()[0, :, 0, 0]) < 2e-3
+    assert rel_l2(bp["w"], blk.graph_conv.weight.grad.numpy()) < 2e-3
+    assert rel_l2(bp["self_r"], blk.self_r.grad.numpy()[0]) < 2e-3
+    assert rel_l2(grads["den1"]["w"], ref.den1.weight.grad.numpy()) < 2e-3
+    # first layer too (gradients flowed through the whole depth)
+    blk1 = ref.layer1.block3
+    bp1 = grads["layers"][0]["blocks"][2]
+    assert rel_l2(bp1["att"], blk1.att.weight.grad.numpy()[0, :, 0, 0]) < 5e-3
+    assert rel_l2(bp1["w"], blk1.graph_conv.weight.grad.numpy()) < 5e-3
