@@ -49,32 +49,46 @@ def log(*a):
 # workload construction
 # --------------------------------------------------------------------------
 
-N_MOLS = 256
+N_MOLS = 8192              # ~850k directed edges: compute-bound, not dispatch
+DENSE_MOLS = 256           # dense reference baseline at its own best size
+                           # (B x N_max x N_max tensors OOM beyond this; its
+                           # per-edge throughput is size-independent)
 MEAN_ATOMS = 25.0
 N_BOND_TYPES = 22          # tox21-like TypeAtt channel count
 WARMUP, STEPS = 3, 20
 
 
-def build_workload():
-    from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+def build_workload(n_mols: int = N_MOLS, backend: str = "tile"):
+    from eagcn_tpu.data.batching import (
+        BatchShape, GraphBatcher, batch_to_jax, pick_tile_size,
+    )
     from eagcn_tpu.data.synthetic import random_molecule_set
     from eagcn_tpu.utils.config import benchmark_config
 
     cfg = benchmark_config("tox21")
     cfg.model.n_bfeat = N_BOND_TYPES
+    cfg.model.backend = backend
+    cfg.model.remat = backend == "tile"
     graphs, labels = random_molecule_set(
-        0, N_MOLS, mean_atoms=MEAN_ATOMS, n_bond_types=N_BOND_TYPES,
+        0, n_mols, mean_atoms=MEAN_ATOMS, n_bond_types=N_BOND_TYPES,
         n_tasks=cfg.model.n_tasks,
     )
     labels = (labels > 0).astype(np.float32)
     nodes = sum(g.num_atoms for g in graphs)
     edges = sum(2 * g.num_bonds for g in graphs)
+    tile = pick_tile_size(max(g.num_atoms for g in graphs)) \
+        if backend == "tile" else 0
+    align = max(128, tile)
+    # aligned packing wastes ~mean/2 nodes per tile
+    node_budget = int((nodes + 8) * (1.0 + (MEAN_ATOMS / (2 * tile) if tile
+                                            else 0.0)))
     shape = BatchShape(
-        num_nodes=-(-(nodes + 8) // 128) * 128,
+        num_nodes=-(-node_budget // align) * align,
         num_edges=-(-(edges + 8) // 128) * 128,
-        num_mols=N_MOLS,
+        num_mols=n_mols,
+        tile_size=tile,
     )
-    batch = GraphBatcher(shape).pack(graphs, labels, list(range(N_MOLS)))
+    batch = GraphBatcher(shape).pack(graphs, labels, list(range(n_mols)))
     return cfg, graphs, labels, batch_to_jax(batch), int(edges)
 
 
@@ -198,7 +212,13 @@ def dense_forward(params, adj, afm, rels, train=True):
     return h @ params["den3"]
 
 
-def bench_dense(cfg, graphs, labels, real_edges):
+def bench_dense(cfg, graphs, labels):
+    """Dense reference-algorithm baseline on its own (small) batch — the
+    B x N x N layout OOMs at mega-batch sizes, which is the point of the
+    sparse/tile redesign.  Throughput is normalized per edge, so the
+    comparison is size-fair."""
+    graphs, labels = graphs[:DENSE_MOLS], labels[:DENSE_MOLS]
+    real_edges = sum(2 * g.num_bonds for g in graphs)
     adj, afm, rels, y = build_dense_batch(graphs, labels)
     log(f"dense batch: adj {adj.shape}, rel tensors "
         f"{[tuple(r.shape) for r in rels]}")
@@ -230,7 +250,7 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     sparse_eps, sparse_dt = bench_sparse(cfg, batch, real_edges)
-    log(f"sparse mega-graph train step: {sparse_dt*1e3:.2f} ms -> "
+    log(f"{cfg.model.backend} mega-graph train step: {sparse_dt*1e3:.2f} ms -> "
         f"{sparse_eps/1e6:.2f}M edges/s")
 
     import signal
@@ -243,7 +263,7 @@ def main():
         # baseline hang the harness
         signal.signal(signal.SIGALRM, _timeout)
         signal.alarm(900)
-        dense_eps, dense_dt = bench_dense(cfg, graphs, labels, real_edges)
+        dense_eps, dense_dt = bench_dense(cfg, graphs, labels)
         signal.alarm(0)
         log(f"dense reference-algorithm step: {dense_dt*1e3:.2f} ms -> "
             f"{dense_eps/1e6:.2f}M edges/s")

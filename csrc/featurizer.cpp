@@ -864,14 +864,25 @@ int32_t eagcn_pack(
     float* node_tiny, int32_t* node_subtype,
     int32_t* neigh, int32_t* neigh_rel, float* neigh_mask, int32_t* neigh_rev,
     int32_t* edge_src, int32_t* edge_dst, int32_t* edge_rel, float* edge_mask,
-    float* mol_size, int32_t* mol_index, float* mol_mask) {
+    float* mol_size, int32_t* mol_index, float* mol_mask,
+    // block-dense tiles (tile_size == 0 -> disabled, pointers may be null);
+    // molecules are then placed without straddling tile boundaries and
+    // tile_adj [T,S,S] / tile_rel [T,S,S,5] int8 tensors are filled
+    // (eagcn_tpu/data/batching.py build_tile_tensors semantics)
+    int32_t tile_size, int8_t* tile_adj, int8_t* tile_rel) {
   int64_t n_cursor = 0, e_cursor = 0;
+  const int64_t S = tile_size;
   std::vector<int32_t> deg(num_nodes, 0);
   for (int b = 0; b < n_sel; ++b) {
     int32_t id = mol_ids[b];
     int64_t a0 = node_off[id], a1 = node_off[id + 1];
     int64_t b0 = bond_off[id], b1 = bond_off[id + 1];
     int64_t n = a1 - a0, mbonds = b1 - b0;
+    if (S > 0) {
+      if (n > S) return 1;  // molecule larger than a tile
+      if (n_cursor / S != (n_cursor + n - 1) / S)
+        n_cursor = (n_cursor + S - 1) / S * S;  // next tile boundary
+    }
     if (b >= num_mols || n_cursor + n > num_nodes ||
         e_cursor + 2 * mbonds > num_edges)
       return 1;
@@ -907,6 +918,13 @@ int32_t eagcn_pack(
         std::memcpy(edge_rel + e_cursor * 5, rel, sizeof(int32_t) * 5);
         edge_mask[e_cursor] = 1.f;
         e_cursor++;
+        if (S > 0) {
+          int64_t t = d / S, rr = d % S, cc = s % S;
+          int64_t cell = (t * S + rr) * S + cc;
+          tile_adj[cell] = 1;
+          for (int q = 0; q < 5; ++q)
+            tile_rel[cell * 5 + q] = (int8_t)rel[q];
+        }
       }
     }
     for (int64_t i = 0; i < n; ++i)

@@ -134,16 +134,22 @@ def native_pack(
     subtypes: np.ndarray, node_off: np.ndarray, bond_off: np.ndarray,
     mol_ids: Sequence[int],
     num_nodes: int, num_edges: int, num_mols: int, max_deg: int,
+    tile_size: int = 0,
 ):
     """Runs the C++ packer; returns dict of output arrays or None when the
     native library is unavailable.  Raises ValueError on budget overflow
-    (same contract as GraphBatcher.pack)."""
+    (same contract as GraphBatcher.pack).  `tile_size > 0` enables
+    boundary-aligned placement + block-dense tile tensors."""
     lib = get_lib()
     if lib is None:
         return None
     n_feat = afm.shape[1]
     ids = np.ascontiguousarray(np.asarray(mol_ids, dtype=np.int32))
+    T = num_nodes // tile_size if tile_size else 0
+    S = tile_size
     out = {
+        "tile_adj": np.zeros((T, S, S), np.int8),
+        "tile_rel": np.zeros((T, S, S, 5), np.int8),
         "node_feat": np.zeros((num_nodes, n_feat), np.float32),
         "node_mol": np.full((num_nodes,), num_mols, np.int32),
         "node_mask": np.zeros((num_nodes,), np.float32),
@@ -194,6 +200,9 @@ def native_pack(
         ptr(out["mol_size"], ctypes.c_float),
         ptr(out["mol_index"], ctypes.c_int32),
         ptr(out["mol_mask"], ctypes.c_float),
+        ctypes.c_int32(tile_size),
+        ptr(out["tile_adj"], ctypes.c_int8),
+        ptr(out["tile_rel"], ctypes.c_int8),
     )
     if rc == 1:
         raise ValueError("native pack: batch budget exceeded")

@@ -28,9 +28,15 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--epochs", default=None, type=int,
                    help="override the benchmark epoch count")
     p.add_argument("--lr", default=None, type=float)
-    p.add_argument("--backend", default="ell", choices=["ell", "coo", "pallas"])
+    p.add_argument("--backend", default="ell",
+                   choices=["ell", "tile", "coo", "pallas"])
     p.add_argument("--bf16", action="store_true",
                    help="bf16 activations through the graph layers")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each graph layer (memory for FLOPs)")
+    p.add_argument("--shards", default=1, type=int,
+                   help="data-parallel shards over a ('data',) device mesh; "
+                        "--batch-size is the GLOBAL batch")
     p.add_argument("--out-dir", default="runs")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", default=0, type=int)
@@ -58,6 +64,8 @@ def cmd_train(args) -> int:
     cfg.model.molfp_mode = args.molfp
     cfg.model.backend = args.backend
     cfg.model.bf16 = args.bf16
+    cfg.model.remat = args.remat
+    cfg.train.num_data_shards = args.shards
     cfg.out_dir = args.out_dir
     if args.epochs is not None:
         cfg.train.num_epochs = args.epochs

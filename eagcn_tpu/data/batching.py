@@ -15,6 +15,15 @@ packed into ONE fixed-size graph ("mega-graph") per batch:
   aggregation backend and for kernels that prefer edge-major layout
 * per-molecule segment ids drive the readout (`segment_sum` over
   `node_mol`); padding nodes map to an extra dummy segment
+* optionally (`tile_size` > 0) molecules are packed WITHOUT straddling
+  tile boundaries and block-dense relation tiles are emitted
+  (`tile_adj [T,S,S]`, `tile_rel [T,S,S,5]`).  The mega-graph adjacency is
+  block-diagonal with tiny (<=S-atom) blocks, so neighborhood aggregation
+  becomes a batched DENSE matmul `[T,S,S] @ [T,S,F]` that rides the MXU —
+  no gathers, no scatters, and the backward is two more batched matmuls.
+  This is the TPU-native speed path for molecule-scale graphs; the ELL
+  gather path remains for giant sharded graphs where dense tiles would
+  not fit.
 
 Every batch produced by one `GraphBatcher` has identical shapes, so the
 whole training run compiles exactly one step function.
@@ -67,6 +76,11 @@ class GraphBatch:
     mol_mask: np.ndarray        # [B] f32
     mol_size: np.ndarray        # [B] f32 number of atoms
     mol_index: np.ndarray       # [B] i32 dataset row index (dumps/debug)
+    # block-dense tiles (empty unless BatchShape.tile_size > 0)
+    tile_adj: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0, 0), np.int8))   # [T, S, S]
+    tile_rel: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0, 0, 5), np.int8))  # [T,S,S,5]
 
     @property
     def num_nodes(self) -> int:
@@ -95,12 +109,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _advance_aligned(cursor: int, n: int, tile: int) -> int:
+    """Next placement cursor such that [cursor, cursor+n) stays within one
+    tile (molecules may not straddle tile boundaries)."""
+    if cursor // tile != (cursor + n - 1) // tile:
+        return _round_up(cursor, tile)
+    return cursor
+
+
+def _empty_tiles():
+    return (np.zeros((0, 0, 0), np.int8), np.zeros((0, 0, 0, 5), np.int8))
+
+
 @dataclasses.dataclass
 class BatchShape:
     num_nodes: int
     num_edges: int
     num_mols: int
     max_degree: int = MAX_DEGREE
+    tile_size: int = 0          # >0: block-dense tiles (must divide num_nodes)
+
+
+def pick_tile_size(max_mol_atoms: int, minimum: int = 128) -> int:
+    """Smallest power-of-two tile >= the largest molecule (a molecule may
+    not straddle a tile boundary).  128 is the MXU-native lane width; HIV's
+    largest kept molecule (222 atoms) needs 256."""
+    s = minimum
+    while s < max_mol_atoms:
+        s *= 2
+    return s
 
 
 def plan_batch_shape(
@@ -109,15 +146,47 @@ def plan_batch_shape(
     batch_mols: int,
     slack: float = 1.15,
     align: int = 128,
+    tile_size: int = 0,
 ) -> BatchShape:
     """Chooses static budgets so that `batch_mols` molecules almost always
     fit: node budget = mean-based estimate + the largest molecule (so no
-    molecule is unpackable), aligned to TPU-friendly multiples."""
+    molecule is unpackable), aligned to TPU-friendly multiples.  With
+    tiles, boundary alignment wastes ~mean_n/2 nodes per tile — budgeted
+    explicitly."""
     mean_n = float(np.mean(sizes))
     mean_e = float(np.mean(bonds))
-    num_nodes = _round_up(int(batch_mols * mean_n * slack + np.max(sizes)), align)
+    est_nodes = batch_mols * mean_n * slack + np.max(sizes)
+    if tile_size:
+        est_nodes *= 1.0 + mean_n / (2.0 * tile_size)
+        align = max(align, tile_size)
+    num_nodes = _round_up(int(est_nodes), align)
     num_edges = _round_up(int(2 * (batch_mols * mean_e * slack + np.max(bonds))), align)
-    return BatchShape(num_nodes=num_nodes, num_edges=num_edges, num_mols=batch_mols)
+    return BatchShape(num_nodes=num_nodes, num_edges=num_edges,
+                      num_mols=batch_mols, tile_size=tile_size)
+
+
+def build_tile_tensors(
+    edge_src: np.ndarray, edge_dst: np.ndarray, edge_rel: np.ndarray,
+    edge_mask: np.ndarray, num_nodes: int, tile_size: int,
+):
+    """Block-dense relation tiles from the COO edge view.  Row index =
+    destination atom (aggregation computes out[i] = sum_j A[i,j] x[j]),
+    matching the ELL `neigh` convention.  Requires aligned packing (every
+    edge intra-tile)."""
+    S = tile_size
+    T = num_nodes // S
+    adj = np.zeros((T, S, S), np.int8)
+    rel = np.zeros((T, S, S, 5), np.int8)
+    m = edge_mask > 0
+    d, s = edge_dst[m], edge_src[m]
+    t = d // S
+    if not np.array_equal(s // S, t):
+        raise ValueError("edge crosses a tile boundary — pack with tile_size")
+    if edge_rel[m].size and edge_rel[m].max() > 127:
+        raise ValueError("relation id exceeds int8 tile storage")
+    adj[t, d % S, s % S] = 1
+    rel[t, d % S, s % S] = edge_rel[m]
+    return adj, rel
 
 
 class GraphBatcher:
@@ -162,6 +231,13 @@ class GraphBatcher:
         e_cursor = 0
         for b, (g, idx) in enumerate(zip(graphs, indices)):
             n, m = g.num_atoms, g.num_bonds
+            if sh.tile_size:
+                if n > sh.tile_size:
+                    raise ValueError(
+                        f"molecule with {n} atoms exceeds tile_size "
+                        f"{sh.tile_size}; use pick_tile_size"
+                    )
+                n_cursor = _advance_aligned(n_cursor, n, sh.tile_size)
             if b >= B or n_cursor + n > N or e_cursor + 2 * m > E:
                 raise ValueError(
                     f"batch budget exceeded: mol {b} needs n={n} e={2*m} at "
@@ -201,7 +277,13 @@ class GraphBatcher:
             n_cursor += n
 
         node_conn = (deg > 0).astype(np.float32)
+        tile_adj, tile_rel = _empty_tiles()
+        if sh.tile_size:
+            tile_adj, tile_rel = build_tile_tensors(
+                edge_src, edge_dst, edge_rel, edge_mask, N, sh.tile_size
+            )
         return GraphBatch(
+            tile_adj=tile_adj, tile_rel=tile_rel,
             node_feat=node_feat, node_mol=node_mol, node_mask=node_mask,
             node_conn=node_conn, node_tiny=node_tiny, node_subtype=node_subtype,
             neigh=neigh, neigh_rel=neigh_rel, neigh_mask=neigh_mask,
@@ -226,7 +308,7 @@ def pack_from_dataset(
             out = native_pack(
                 afm, bonds, rels, subs, node_off, bond_off, ids,
                 shape.num_nodes, shape.num_edges, shape.num_mols,
-                shape.max_degree,
+                shape.max_degree, tile_size=shape.tile_size,
             )
             if out is not None:
                 n_tasks = ds.labels.shape[1]
@@ -260,15 +342,18 @@ def iter_batches(
     for i in order:
         g = ds.graphs[int(i)]
         n, e = g.num_atoms, 2 * g.num_bonds
+        n_start = (_advance_aligned(n_used, n, shape.tile_size)
+                   if shape.tile_size else n_used)
         if (
             len(cur_idx) >= shape.num_mols
-            or n_used + n > shape.num_nodes
+            or n_start + n > shape.num_nodes
             or e_used + e > shape.num_edges
         ):
             yield pack_from_dataset(ds, cur_idx, shape, use_native)
             cur_idx, n_used, e_used = [], 0, 0
+            n_start = 0
         cur_idx.append(int(i))
-        n_used += n
+        n_used = n_start + n
         e_used += e
     if cur_idx and not drop_remainder:
         yield pack_from_dataset(ds, cur_idx, shape, use_native)

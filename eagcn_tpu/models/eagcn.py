@@ -134,10 +134,18 @@ def apply_eagcn(
     consensus = None
     if cfg.structure in ("Concate", "Weighted_sum"):
         for li in range(4):
-            x, consensus, s = multiview_layer_apply(
-                params["layers"][li], state["layers"][li], ops, batch, x,
-                cfg.structure, cfg.dropout, train, rngs[li] if rng is not None
-                else None, last=(li == 3), axis_name=axis_name,
+
+            def one_layer(p, s, xx, k, _li=li):
+                return multiview_layer_apply(
+                    p, s, ops, batch, xx, cfg.structure, cfg.dropout,
+                    train, k, last=(_li == 3), axis_name=axis_name,
+                )
+
+            if cfg.remat:
+                one_layer = jax.checkpoint(one_layer)
+            x, consensus, s = one_layer(
+                params["layers"][li], state["layers"][li], x,
+                rngs[li] if rng is not None else None,
             )
             new_state["layers"].append(s)
     elif cfg.structure == "GCN":

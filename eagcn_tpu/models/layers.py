@@ -162,7 +162,7 @@ def multiview_layer_apply(
             params["blocks"][v], state["blocks"][v], ops, batch, x,
             VIEW_REL_COLUMNS[v], drop_rate, train, rngs[v], axis_name,
             precomputed_agg=None if agg_all is None else agg_all[:, v, :],
-            precomputed_sig=None if sig_all is None else sig_all[:, :, v],
+            precomputed_sig=None if sig_all is None else sig_all[..., v],
         )
         xs.append(h)
         sigs.append(sig)
@@ -194,6 +194,8 @@ def multiview_layer_apply(
 
 
 def _edge_presence(ops: GraphOps) -> jnp.ndarray:
+    if hasattr(ops, "adj_f"):
+        return ops.adj_f         # block-dense tile layout
     if hasattr(ops, "neigh_mask"):
         return ops.neigh_mask    # ELL-layout backends
     return ops.edge_mask         # COO layout

@@ -147,6 +147,66 @@ class EllOps:
                           preferred_element_type=jnp.float32)
 
 
+class TileOps:
+    """Block-dense tile backend — the TPU speed path for molecule-scale
+    graphs.  Molecules are packed without straddling S-atom tile
+    boundaries (`data/batching.py`), so the mega-graph adjacency is
+    block-diagonal over [T, S, S] tiles and neighborhood aggregation is a
+    batched DENSE matmul `A[T,S,S] @ X[T,S,F]` on the MXU.  The backward
+    is two more batched matmuls (A^T G and G X^T) — no gathers, no
+    scatters, no layout copies (profiling round 2 showed XLA's gather/ELL
+    backward spending ~20 ms/step in physical `reshape` transposes).
+
+    The reference computes the same math per molecule on dense padded
+    B x N_max x N_max batches (`eagcn_pytorch/layers.py:38-95`); packing
+    ~S/mean_atoms molecules per tile keeps tiles ~90% full where the
+    reference pads every molecule to the batch max."""
+
+    def __init__(self, tile_adj, tile_rel, num_nodes: int,
+                 compute_dtype=None):
+        if tile_adj.size == 0:
+            raise ValueError(
+                "batch has no tiles — pack with BatchShape.tile_size > 0 "
+                "for the 'tile' backend"
+            )
+        self.num_nodes = num_nodes
+        self.tiles, self.S = tile_adj.shape[0], tile_adj.shape[1]
+        self.compute_dtype = compute_dtype
+        self.dtype = compute_dtype or jnp.float32
+        self.tile_rel = tile_rel            # [T, S, S, 5] i8
+        self.adj_f = tile_adj.astype(self.dtype)  # [T, S, S]
+
+    def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
+        """Per-edge attention tile [T, S, S]: sigmoid over the relation
+        dictionary, masked to real edges (`layers.py:82-83`).  The one-hot
+        contraction fuses into a compare-select-reduce (no [T,S,S,C]
+        materialization)."""
+        rel = self.tile_rel[..., rel_col]
+        onehot = jax.nn.one_hot(rel, att_w.shape[0], dtype=att_w.dtype)
+        return jax.nn.sigmoid(onehot @ att_w).astype(self.dtype) * self.adj_f
+
+    def rowsum(self, weights: jnp.ndarray) -> jnp.ndarray:
+        return weights.sum(-1).reshape(self.num_nodes).astype(jnp.float32)
+
+    def aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """[T,S,S] @ [T,S,F] batched matmul -> [N, F] fp32."""
+        xt = x.reshape(self.tiles, self.S, -1)
+        if self.compute_dtype is not None:
+            weights = weights.astype(self.compute_dtype)
+            xt = xt.astype(self.compute_dtype)
+        out = jnp.einsum("tij,tjf->tif", weights, xt,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(self.num_nodes, -1)
+
+    def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """weights [T,S,S,V], x [N,F] -> [N,V,F]: V independent batched
+        matmuls sharing X (each is MXU-shaped; a fused 4D einsum would
+        force XLA layout transposes of the stacked tile tensor)."""
+        outs = [self.aggregate(weights[..., v], x)
+                for v in range(weights.shape[-1])]
+        return jnp.stack(outs, axis=1)
+
+
 class CooOps:
     """COO backend: weights live per directed edge [E]."""
 
@@ -175,11 +235,15 @@ class CooOps:
 
 def make_ops(batch, backend: str = "ell", compute_dtype=None) -> GraphOps:
     """Builds the aggregation adapter for a GraphBatch.  `compute_dtype`
-    (bf16) is honoured by the ELL backend only; COO/Pallas stay fp32."""
+    (bf16) is honoured by the ELL and tile backends; COO/Pallas stay fp32."""
     if backend == "ell":
         return EllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask,
                       neigh_rev=getattr(batch, "neigh_rev", None),
                       compute_dtype=compute_dtype)
+    if backend == "tile":
+        return TileOps(batch.tile_adj, batch.tile_rel,
+                       num_nodes=batch.node_feat.shape[0],
+                       compute_dtype=compute_dtype)
     if backend == "coo":
         return CooOps(
             batch.edge_src, batch.edge_dst, batch.edge_rel, batch.edge_mask,

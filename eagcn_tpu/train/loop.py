@@ -87,7 +87,18 @@ class Experiment:
         sizes, bonds = self.ds.sizes(), np.array(
             [g.num_bonds for g in self.ds.graphs]
         )
-        self.batch_shape = plan_batch_shape(sizes, bonds, t.batch_size)
+        self.n_shards = max(1, int(t.num_data_shards))
+        tile = 0
+        if cfg.model.backend == "tile":
+            from ..data.batching import pick_tile_size
+
+            tile = pick_tile_size(int(sizes.max()))
+        # with DP shards the configured batch size is the GLOBAL batch;
+        # each shard packs its round-robin slice into a per-shard budget
+        per_shard_mols = -(-t.batch_size // self.n_shards)
+        self.batch_shape = plan_batch_shape(
+            sizes, bonds, per_shard_mols, tile_size=tile
+        )
 
         self.class_weights = None
         if t.task_type == "class":
@@ -101,9 +112,26 @@ class Experiment:
         self.params, self.state = init_eagcn(self.init_key, cfg.model)
         self.opt_state = self.tx.init(self.params)
 
-        self.train_step = make_train_step(
-            cfg.model, t.task_type, self.tx, self.class_weights
-        )
+        if self.n_shards > 1:
+            # data parallelism over a ('data',) mesh: batch leading axis
+            # sharded, params replicated, grads + BN moments psum'd
+            from ..parallel.dp import make_dp_eval_step, make_dp_train_step
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(data=self.n_shards, graph=1)
+            self.train_step = make_dp_train_step(
+                cfg.model, t.task_type, self.tx, self.mesh,
+                self.class_weights,
+            )
+            self.dp_eval_step = make_dp_eval_step(
+                cfg.model, t.task_type, self.mesh
+            )
+        else:
+            self.mesh = None
+            self.train_step = make_train_step(
+                cfg.model, t.task_type, self.tx, self.class_weights
+            )
+        # single-device eval path (representation dumps use it even with DP)
         self.eval_step = make_eval_step(cfg.model, t.task_type)
 
         name = run_name or f"{t.dataset}_{cfg.model.structure}_rs{t.random_state}"
@@ -182,11 +210,25 @@ class Experiment:
     def evaluate(self, indices: np.ndarray) -> Dict:
         """Full sweep -> metric dict (AUC list+mean or RMSE)."""
         preds, trues = [], []
-        for batch in self._eval_batches(indices):
-            p, _, _ = self.eval_step(self.params, self.state, batch)
-            keep = np.asarray(batch.mol_mask) > 0
-            preds.append(np.asarray(p)[keep])
-            trues.append(np.asarray(batch.labels)[keep])
+        if self.n_shards > 1:
+            from ..parallel.dp import sharded_batch_stream
+
+            for batch in sharded_batch_stream(
+                self.ds, indices, self.batch_shape, self.n_shards
+            ):
+                p, lab, mm = self.dp_eval_step(
+                    self.params, self.state, batch_to_jax(batch)
+                )
+                keep = np.asarray(mm).reshape(-1) > 0
+                preds.append(np.asarray(p).reshape(keep.shape[0], -1)[keep])
+                trues.append(
+                    np.asarray(lab).reshape(keep.shape[0], -1)[keep])
+        else:
+            for batch in self._eval_batches(indices):
+                p, _, _ = self.eval_step(self.params, self.state, batch)
+                keep = np.asarray(batch.mol_mask) > 0
+                preds.append(np.asarray(p)[keep])
+                trues.append(np.asarray(batch.labels)[keep])
         y_pred = np.concatenate(preds)
         y_true = np.concatenate(trues)
         if self.cfg.train.task_type == "class":
@@ -224,10 +266,19 @@ class Experiment:
             epoch_rng = np.random.default_rng([t.seed, epoch])
             t0 = time.time()
             losses = []
-            batches = _prefetch(iter_batches(
-                self.ds, self.train_idx, self.batch_shape,
-                shuffle=True, rng=epoch_rng,
-            ))
+            if self.n_shards > 1:
+                from ..parallel.dp import sharded_batch_stream
+
+                source = sharded_batch_stream(
+                    self.ds, self.train_idx, self.batch_shape,
+                    self.n_shards, shuffle=True, rng=epoch_rng,
+                )
+            else:
+                source = iter_batches(
+                    self.ds, self.train_idx, self.batch_shape,
+                    shuffle=True, rng=epoch_rng,
+                )
+            batches = _prefetch(source)
             for batch in batches:
                 step_key = jax.random.fold_in(self.drop_key, self.global_step)
                 self.params, self.state, self.opt_state, loss = self.train_step(

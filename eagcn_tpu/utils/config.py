@@ -28,8 +28,13 @@ class ModelConfig:
     structure: str = "Concate"
     molfp_mode: str = "sum"
     pool_num: int = 5                 # models.py:25
-    backend: str = "ell"              # aggregation backend
+    backend: str = "ell"              # aggregation backend (ell|tile|coo|pallas)
     bf16: bool = False                # bf16 activations through graph layers
+    remat: bool = False               # jax.checkpoint each graph layer:
+                                      # recompute activations in backward
+                                      # instead of saving [N,V,F] residuals
+                                      # (trades ~33% FLOPs for O(layers x
+                                      # width) HBM at large mega-batches)
 
 
 @dataclass

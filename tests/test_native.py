@@ -61,6 +61,21 @@ class TestNativeFeaturizer:
             if r:
                 _compare_one(r[13])
 
+    # Full-corpus cross-checks (every row of all four CSVs, zero
+    # mismatches) are run by scripts/crosscheck_datasets.py; artifact at
+    # runs/native_crosscheck.json.  CI keeps sampled versions fast.
+    def test_hiv_sample(self, data_dir):
+        rows = list(csv.reader(open(f"{data_dir}/HIV.csv")))[1:]
+        for r in rows[::25]:
+            if r:
+                _compare_one(r[0])
+
+    def test_lipo_sample(self, data_dir):
+        rows = list(csv.reader(open(f"{data_dir}/Lipophilicity.csv")))[1:]
+        for r in rows[::5]:
+            if r:
+                _compare_one(r[2])
+
     def test_type_resolution(self):
         r = native_featurize("CO")
         ids = resolve_type_ids(r.bond_pair_z, {"6_8": 0, "6_6": 1}, 2)

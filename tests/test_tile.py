@@ -1,0 +1,207 @@
+"""Block-dense tile backend: packing invariants + exact agreement with the
+ELL gather backend on the full model (forward AND gradients).
+
+The tile backend computes the same per-edge attention/row-norm math as ELL
+(`eagcn_pytorch/layers.py:82-92` semantics) but as batched dense matmuls
+over [T, S, S] tiles — the TPU MXU path.  Any divergence is a bug, so the
+tolerance is fp32 reassociation noise only."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eagcn_tpu.data.batching import (
+    BatchShape,
+    GraphBatcher,
+    batch_to_jax,
+    build_tile_tensors,
+    pick_tile_size,
+    plan_batch_shape,
+)
+from eagcn_tpu.data.synthetic import random_molecule_set
+from eagcn_tpu.models import apply_eagcn, init_eagcn
+from eagcn_tpu.ops.aggregate import make_ops
+from eagcn_tpu.utils.config import ModelConfig
+
+S = 32          # small tile keeps CPU tests fast; code is size-agnostic
+N_BOND = 7
+
+
+def make_batch(n_mols=24, seed=0, tile_size=S, mean_atoms=11.0):
+    graphs, labels = random_molecule_set(
+        seed, n_mols, mean_atoms=mean_atoms, n_bond_types=N_BOND, n_tasks=2
+    )
+    nodes = sum(g.num_atoms for g in graphs)
+    edges = sum(2 * g.num_bonds for g in graphs)
+    shape = BatchShape(
+        num_nodes=((nodes * 2 + tile_size) // tile_size) * tile_size,
+        num_edges=edges + 64,
+        num_mols=n_mols,
+        tile_size=tile_size,
+    )
+    batch = GraphBatcher(shape).pack(graphs, labels, list(range(n_mols)))
+    return graphs, batch
+
+
+class TestTilePacking:
+    def test_no_molecule_straddles_boundary(self):
+        graphs, batch = make_batch()
+        mol_of = np.asarray(batch.node_mol)
+        mask = np.asarray(batch.node_mask) > 0
+        for t in range(batch.node_feat.shape[0] // S):
+            rows = mol_of[t * S:(t + 1) * S][mask[t * S:(t + 1) * S]]
+            # every molecule id in this tile must not appear in other tiles
+            for other in range(batch.node_feat.shape[0] // S):
+                if other == t:
+                    continue
+                orows = mol_of[other * S:(other + 1) * S][
+                    mask[other * S:(other + 1) * S]]
+                assert not set(rows.tolist()) & set(orows.tolist())
+
+    def test_tiles_match_edges(self):
+        _, batch = make_batch()
+        m = batch.edge_mask > 0
+        for s, d, r in zip(batch.edge_src[m], batch.edge_dst[m],
+                           batch.edge_rel[m]):
+            t = d // S
+            assert batch.tile_adj[t, d % S, s % S] == 1
+            np.testing.assert_array_equal(
+                batch.tile_rel[t, d % S, s % S], r)
+        assert batch.tile_adj.sum() == int(m.sum())
+
+    def test_cross_tile_edge_rejected(self):
+        edge_src = np.array([0, S], np.int32)
+        edge_dst = np.array([S, 0], np.int32)
+        edge_rel = np.zeros((2, 5), np.int32)
+        edge_mask = np.ones(2, np.float32)
+        with pytest.raises(ValueError, match="tile boundary"):
+            build_tile_tensors(edge_src, edge_dst, edge_rel, edge_mask,
+                               2 * S, S)
+
+    def test_oversized_molecule_rejected(self):
+        graphs, labels = random_molecule_set(3, 2, mean_atoms=float(2 * S),
+                                             n_bond_types=N_BOND, n_tasks=1)
+        big = max(graphs, key=lambda g: g.num_atoms)
+        if big.num_atoms <= S:
+            pytest.skip("generator produced only small molecules")
+        shape = BatchShape(num_nodes=8 * S, num_edges=1024, num_mols=2,
+                           tile_size=S)
+        with pytest.raises(ValueError, match="tile_size"):
+            GraphBatcher(shape).pack(graphs, labels, [0, 1])
+
+    def test_pick_tile_size(self):
+        assert pick_tile_size(24) == 128
+        assert pick_tile_size(128) == 128
+        assert pick_tile_size(129) == 256
+        assert pick_tile_size(222) == 256
+
+    def test_plan_shape_tile_aligned(self):
+        sizes = np.array([10, 20, 30])
+        bonds = np.array([10, 21, 32])
+        sh = plan_batch_shape(sizes, bonds, 16, tile_size=S)
+        assert sh.num_nodes % S == 0
+        assert sh.tile_size == S
+
+
+class TestTileVsEll:
+    @pytest.mark.parametrize("structure", ["Concate", "Weighted_sum"])
+    def test_forward_and_grad_match(self, structure):
+        _, batch = make_batch()
+        jb = batch_to_jax(batch)
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(5, 4, 3, 4, 5), sgc2=(6, 5, 4, 5, 6),
+            n_den1=12, n_den2=8, n_tasks=2, dropout=0.0, structure=structure,
+        )
+        cfg_ell = ModelConfig(backend="ell", **cfg)
+        cfg_tile = ModelConfig(backend="tile", **cfg)
+        params, state = init_eagcn(jax.random.key(0), cfg_ell)
+
+        def loss(p, c):
+            logits, _, _, _ = apply_eagcn(p, state, jb, c, train=True,
+                                          rng=None)
+            return jnp.sum(logits ** 2), logits
+
+        (l_e, out_e), g_e = jax.value_and_grad(loss, has_aux=True)(
+            params, cfg_ell)
+        (l_t, out_t), g_t = jax.value_and_grad(loss, has_aux=True)(
+            params, cfg_tile)
+        np.testing.assert_allclose(out_t, out_e, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(l_t), float(l_e), rtol=1e-5)
+        # global check: whole-gradient rel-L2 (catches systematic drift);
+        # per-leaf atol floor covers BN-cancellation noise on ~zero grads
+        # (dL/db through train-mode BN is analytically ~0; both backends
+        # return summation-order-dependent fp32 residue there)
+        vec_t = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_t)])
+        vec_e = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_e)])
+        rel = np.linalg.norm(vec_t - vec_e) / np.linalg.norm(vec_e)
+        assert rel < 1e-4, f"global grad rel-L2 {rel}"
+        # per-leaf floor scales with the dominant gradient: leaves whose
+        # true gradient is ~0 carry only summation-order cancellation
+        # residue (observed as exact multiples of 2^-16 on both backends)
+        floor = 2e-3 * float(np.abs(vec_e).max())
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_t),
+            jax.tree_util.tree_leaves_with_path(g_e),
+        ):
+            np.testing.assert_allclose(
+                a, b, rtol=5e-4, atol=floor,
+                err_msg=jax.tree_util.keystr(pa))
+
+    def test_gcn_structure(self):
+        _, batch = make_batch()
+        jb = batch_to_jax(batch)
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(4,) * 5, sgc2=(5,) * 5,
+            n_den1=8, n_den2=8, n_tasks=1, dropout=0.0, structure="GCN",
+        )
+        p, s = init_eagcn(jax.random.key(1), ModelConfig(backend="ell", **cfg))
+        o_e, _, _, _ = apply_eagcn(p, s, jb, ModelConfig(backend="ell", **cfg))
+        o_t, _, _, _ = apply_eagcn(p, s, jb, ModelConfig(backend="tile", **cfg))
+        np.testing.assert_allclose(o_t, o_e, rtol=2e-5, atol=2e-5)
+
+    def test_diffpool_consensus(self):
+        _, batch = make_batch()
+        jb = batch_to_jax(batch)
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(4,) * 5, sgc2=(5,) * 5,
+            n_den1=8, n_den2=8, n_tasks=1, dropout=0.0,
+            structure="Concate", molfp_mode="pool",
+        )
+        p, s = init_eagcn(jax.random.key(2), ModelConfig(backend="ell", **cfg))
+        o_e, _, _, _ = apply_eagcn(p, s, jb, ModelConfig(backend="ell", **cfg))
+        o_t, _, _, _ = apply_eagcn(p, s, jb, ModelConfig(backend="tile", **cfg))
+        np.testing.assert_allclose(o_t, o_e, rtol=5e-5, atol=5e-5)
+
+    def test_bf16_tile_close_to_fp32(self):
+        _, batch = make_batch()
+        jb = batch_to_jax(batch)
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(4,) * 5, sgc2=(5,) * 5,
+            n_den1=8, n_den2=8, n_tasks=1, dropout=0.0, structure="Concate",
+        )
+        p, s = init_eagcn(jax.random.key(3), ModelConfig(backend="tile", **cfg))
+        o32, _, _, _ = apply_eagcn(p, s, jb, ModelConfig(backend="tile", **cfg))
+        o16, _, _, _ = apply_eagcn(
+            p, s, jb, ModelConfig(backend="tile", bf16=True, **cfg))
+        np.testing.assert_allclose(o16, o32, rtol=0.1, atol=0.1)
+
+    def test_iter_batches_tiled(self):
+        from eagcn_tpu.data.batching import iter_batches
+        from eagcn_tpu.data.dataset import FeaturizedDataset
+
+        graphs, labels = random_molecule_set(7, 40, mean_atoms=9.0,
+                                             n_bond_types=N_BOND, n_tasks=1)
+        ds = FeaturizedDataset(
+            spec=None, graphs=graphs, labels=labels,
+            smiles=[""] * len(graphs), bondtype_list=[], atomtype_list=[],
+            feat_min=np.zeros(24), feat_max=np.ones(24),
+        )
+        shape = BatchShape(num_nodes=4 * S, num_edges=256, num_mols=8,
+                           tile_size=S)
+        tot = 0
+        for b in iter_batches(ds, np.arange(40), shape):
+            tot += int(b.mol_mask.sum())
+            assert b.tile_adj.shape == (4, S, S)
+        assert tot == 40

@@ -160,14 +160,16 @@ def transplant(ref: RefEAGCN, params):
         bn.bias.data = torch.tensor(np.asarray(params[oname]["bias"]))
 
 
+@pytest.mark.parametrize("backend", ["ell", "tile"])
 @pytest.mark.parametrize("structure", ["Concate", "Weighted_sum"])
-def test_forward_parity_vs_reference(structure):
+def test_forward_parity_vs_reference(structure, backend):
     graphs = build_graphs()
     B = len(graphs)
     n = graphs[0].num_atoms
     cfg = ModelConfig(
         n_bfeat=N_BFEAT, sgc1=(6, 5, 4, 5, 6), sgc2=(8, 7, 6, 7, 8),
         n_den1=16, n_den2=12, n_tasks=3, dropout=0.0, structure=structure,
+        backend=backend,
     )
     params, state = init_eagcn(jax.random.key(42), cfg)
 
@@ -183,8 +185,13 @@ def test_forward_parity_vs_reference(structure):
 
     # --- our sparse mega-graph path
     labels = np.zeros((B, cfg.n_tasks), np.float32)
-    shape = BatchShape(num_nodes=B * n + 8, num_edges=4 * B * n,
-                       num_mols=B)
+    if backend == "tile":
+        # one 8-atom tile per 6-atom molecule (+ one padding tile)
+        shape = BatchShape(num_nodes=8 * (B + 1), num_edges=4 * B * n,
+                           num_mols=B, tile_size=8)
+    else:
+        shape = BatchShape(num_nodes=B * n + 8, num_edges=4 * B * n,
+                           num_mols=B)
     batch = GraphBatcher(shape).pack(graphs, labels, list(range(B)))
     jbatch = batch_to_jax(batch)
     logits, atom_reps, graph_rep, _ = apply_eagcn(
@@ -198,8 +205,10 @@ def test_forward_parity_vs_reference(structure):
         np.asarray(logits), t_logits.numpy(), rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(
         np.asarray(graph_rep), t_graph.numpy(), rtol=1e-3, atol=5e-4)
-    # atom reps: packed rows are molecule-major, contiguous
-    ours = np.asarray(atom_reps)[: B * n].reshape(B, n, -1)
+    # atom reps: packed rows are molecule-major; mask drops padding
+    # (tile packing aligns each molecule to a tile boundary)
+    ours = np.asarray(atom_reps)[
+        np.asarray(jbatch.node_mask) > 0].reshape(B, n, -1)
     np.testing.assert_allclose(
         ours, t_atoms.numpy(), rtol=1e-3, atol=5e-4)
 
