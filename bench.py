@@ -68,7 +68,7 @@ def build_workload(n_mols: int = N_MOLS, backend: str = "tile"):
     cfg = benchmark_config("tox21")
     cfg.model.n_bfeat = N_BOND_TYPES
     cfg.model.backend = backend
-    cfg.model.remat = backend == "tile"
+    cfg.model.remat = backend in ("tile", "pallas")
     graphs, labels = random_molecule_set(
         0, n_mols, mean_atoms=MEAN_ATOMS, n_bond_types=N_BOND_TYPES,
         n_tasks=cfg.model.n_tasks,
@@ -77,11 +77,18 @@ def build_workload(n_mols: int = N_MOLS, backend: str = "tile"):
     nodes = sum(g.num_atoms for g in graphs)
     edges = sum(2 * g.num_bonds for g in graphs)
     tile = pick_tile_size(max(g.num_atoms for g in graphs)) \
-        if backend == "tile" else 0
+        if backend in ("tile", "pallas") else 0
     align = max(128, tile)
-    # aligned packing wastes ~mean/2 nodes per tile
-    node_budget = int((nodes + 8) * (1.0 + (MEAN_ATOMS / (2 * tile) if tile
-                                            else 0.0)))
+    if tile:
+        # exact: simulate the aligned placement cursor
+        from eagcn_tpu.data.batching import _advance_aligned
+
+        cursor = 0
+        for g in graphs:
+            cursor = _advance_aligned(cursor, g.num_atoms, tile) + g.num_atoms
+        node_budget = cursor + 8
+    else:
+        node_budget = nodes + 8
     shape = BatchShape(
         num_nodes=-(-node_budget // align) * align,
         num_edges=-(-(edges + 8) // 128) * 128,

@@ -867,8 +867,8 @@ int32_t eagcn_pack(
     float* mol_size, int32_t* mol_index, float* mol_mask,
     // block-dense tiles (tile_size == 0 -> disabled, pointers may be null);
     // molecules are then placed without straddling tile boundaries and
-    // tile_adj [T,S,S] / tile_rel [T,S,S,5] int8 tensors are filled
-    // (eagcn_tpu/data/batching.py build_tile_tensors semantics)
+    // tile_adj [T,S,S] / tile_rel [T,5,S,S] (view-major) int8 tensors are
+    // filled (eagcn_tpu/data/batching.py build_tile_tensors semantics)
     int32_t tile_size, int8_t* tile_adj, int8_t* tile_rel) {
   int64_t n_cursor = 0, e_cursor = 0;
   const int64_t S = tile_size;
@@ -920,10 +920,9 @@ int32_t eagcn_pack(
         e_cursor++;
         if (S > 0) {
           int64_t t = d / S, rr = d % S, cc = s % S;
-          int64_t cell = (t * S + rr) * S + cc;
-          tile_adj[cell] = 1;
+          tile_adj[(t * S + rr) * S + cc] = 1;
           for (int q = 0; q < 5; ++q)
-            tile_rel[cell * 5 + q] = (int8_t)rel[q];
+            tile_rel[((t * 5 + q) * S + rr) * S + cc] = (int8_t)rel[q];
         }
       }
     }

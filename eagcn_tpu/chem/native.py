@@ -149,7 +149,7 @@ def native_pack(
     S = tile_size
     out = {
         "tile_adj": np.zeros((T, S, S), np.int8),
-        "tile_rel": np.zeros((T, S, S, 5), np.int8),
+        "tile_rel": np.zeros((T, 5, S, S), np.int8),
         "node_feat": np.zeros((num_nodes, n_feat), np.float32),
         "node_mol": np.full((num_nodes,), num_mols, np.int32),
         "node_mask": np.zeros((num_nodes,), np.float32),

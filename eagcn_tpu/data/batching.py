@@ -17,7 +17,9 @@ packed into ONE fixed-size graph ("mega-graph") per batch:
   `node_mol`); padding nodes map to an extra dummy segment
 * optionally (`tile_size` > 0) molecules are packed WITHOUT straddling
   tile boundaries and block-dense relation tiles are emitted
-  (`tile_adj [T,S,S]`, `tile_rel [T,S,S,5]`).  The mega-graph adjacency is
+  (`tile_adj [T,S,S]`, `tile_rel [T,5,S,S]` — view-major so every per-view
+  [S,S] relation block is lane-aligned for the TPU kernels).  The
+  mega-graph adjacency is
   block-diagonal with tiny (<=S-atom) blocks, so neighborhood aggregation
   becomes a batched DENSE matmul `[T,S,S] @ [T,S,F]` that rides the MXU —
   no gathers, no scatters, and the backward is two more batched matmuls.
@@ -80,7 +82,7 @@ class GraphBatch:
     tile_adj: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 0, 0), np.int8))   # [T, S, S]
     tile_rel: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.zeros((0, 0, 0, 5), np.int8))  # [T,S,S,5]
+        default_factory=lambda: np.zeros((0, 5, 0, 0), np.int8))  # [T,5,S,S]
 
     @property
     def num_nodes(self) -> int:
@@ -118,7 +120,7 @@ def _advance_aligned(cursor: int, n: int, tile: int) -> int:
 
 
 def _empty_tiles():
-    return (np.zeros((0, 0, 0), np.int8), np.zeros((0, 0, 0, 5), np.int8))
+    return (np.zeros((0, 0, 0), np.int8), np.zeros((0, 5, 0, 0), np.int8))
 
 
 @dataclasses.dataclass
@@ -176,7 +178,7 @@ def build_tile_tensors(
     S = tile_size
     T = num_nodes // S
     adj = np.zeros((T, S, S), np.int8)
-    rel = np.zeros((T, S, S, 5), np.int8)
+    rel = np.zeros((T, 5, S, S), np.int8)
     m = edge_mask > 0
     d, s = edge_dst[m], edge_src[m]
     t = d // S
@@ -185,7 +187,8 @@ def build_tile_tensors(
     if edge_rel[m].size and edge_rel[m].max() > 127:
         raise ValueError("relation id exceeds int8 tile storage")
     adj[t, d % S, s % S] = 1
-    rel[t, d % S, s % S] = edge_rel[m]
+    for q in range(5):
+        rel[t, q, d % S, s % S] = edge_rel[m][:, q]
     return adj, rel
 
 

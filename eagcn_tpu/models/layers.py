@@ -80,17 +80,25 @@ def view_block_apply(
     drop_rate: float, train: bool, rng, axis_name=None,
     precomputed_agg: Optional[jnp.ndarray] = None,
     precomputed_sig: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
+    precomputed_rowsum: Optional[jnp.ndarray] = None,
+    need_sig: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], State]:
     """Returns (activations [N, f_out], edge scores in backend layout,
     new state).  The edge scores correspond to the reference's returned
     ``A1 = sigmoid(att)*adj`` (`layers.py:83,95`).  When the layer already
-    ran the fused multi-view aggregation, `precomputed_agg`/`sig` skip the
-    per-view gather."""
-    sig = (precomputed_sig if precomputed_sig is not None
-           else ops.scores(params["att"], rel_col))
+    ran the fused multi-view aggregation, `precomputed_agg`/`sig`/`rowsum`
+    skip the per-view work; with `need_sig=False` (fused kernel path —
+    scores never leave VMEM) the returned sig is None unless something
+    below still requires it."""
+    sig = precomputed_sig
+    if sig is None and (need_sig or precomputed_agg is None
+                        or precomputed_rowsum is None):
+        sig = ops.scores(params["att"], rel_col)
     agg = (precomputed_agg if precomputed_agg is not None
            else ops.aggregate(sig, x))
-    h = _normalize_with_self(params, batch, x, sig, agg, ops)
+    rows = (precomputed_rowsum if precomputed_rowsum is not None
+            else ops.rowsum(sig))
+    h = _normalize_with_self(params, batch, x, rows, agg)
     h = h @ params["w"] + params["b"]
     h_bn, bn_state = batch_norm_apply(
         params["bn"], state["bn"], h, batch.node_mask, train, axis_name
@@ -105,13 +113,12 @@ def view_block_apply(
     return h, sig, {"bn": bn_state}
 
 
-def _normalize_with_self(params, batch, x, sig, agg, ops):
-    """(A / rowsum) * mask with learned self-loop (`layers.py:83-92`)."""
+def _normalize_with_self(params, batch, x, rows, agg):
+    """(A / rowsum) * mask with learned self-loop (`layers.py:83-92`).
+    `rows` is the per-node score row-sum in node layout [N]."""
     sr = jax.nn.sigmoid(params["self_r"])
     conn = batch.node_conn
-    denom = (
-        ops.rowsum(sig) + sr * conn + batch.node_tiny + (1.0 - conn)
-    )
+    denom = rows + sr * conn + batch.node_tiny + (1.0 - conn)
     return (agg + (sr * conn)[:, None] * x) / denom[:, None] * conn[:, None]
 
 
@@ -148,21 +155,34 @@ def multiview_layer_apply(
 ):
     """Returns (fused activations, consensus-A info or None, new state)."""
     rngs = jax.random.split(rng, 5) if rng is not None else [None] * 5
-    # fused path: score all five views and gather node features ONCE
+    # fused paths: score all five views and read node features ONCE
     # (the reference re-reads the dense adjacency per view, layers.py:306-310)
-    agg_all = sig_all = None
-    if hasattr(ops, "multi_aggregate"):
+    agg_all = sig_all = rows_all = None
+    if hasattr(ops, "fused_multiview"):
+        # Pallas kernel: scores live in VMEM only; agg is [V, N, F]
+        agg_all, rows_all = ops.fused_multiview(
+            [params["blocks"][v]["att"] for v in range(5)], x
+        )
+    elif hasattr(ops, "multi_aggregate"):
         sig_all = jnp.stack(
             [ops.scores(params["blocks"][v]["att"], VIEW_REL_COLUMNS[v])
              for v in range(5)], axis=-1)                    # [N, D, 5]
         agg_all = ops.multi_aggregate(sig_all, x)            # [N, 5, F]
     xs, sigs, new_bstates = [], [], []
     for v in range(5):
+        if rows_all is not None:          # fused kernel layout
+            pre_agg, pre_rows = agg_all[v], rows_all[v]
+        elif agg_all is not None:
+            pre_agg, pre_rows = agg_all[:, v, :], None
+        else:
+            pre_agg = pre_rows = None
         h, sig, bs = view_block_apply(
             params["blocks"][v], state["blocks"][v], ops, batch, x,
             VIEW_REL_COLUMNS[v], drop_rate, train, rngs[v], axis_name,
-            precomputed_agg=None if agg_all is None else agg_all[:, v, :],
+            precomputed_agg=pre_agg,
             precomputed_sig=None if sig_all is None else sig_all[..., v],
+            precomputed_rowsum=pre_rows,
+            need_sig=last,   # scores only leave the backend for consensus
         )
         xs.append(h)
         sigs.append(sig)

@@ -11,7 +11,9 @@ for graphs with ~2 bonds/atom.  Here aggregation is sparse and O(E*F):
 * **coo**: `jax.ops.segment_sum` over directed edges — the textbook JAX GNN
   formulation (scatter-add); used for cross-checking and for very skewed
   degree distributions.
-* **pallas**: fused Pallas TPU kernel (see `ops/pallas_spmm.py`).
+* **tile**: block-dense [T,S,S] tiles -> batched MXU matmuls (see TileOps).
+* **pallas**: tile layout with the fused multi-view attention+SpMM Pallas
+  kernel on the hot path (see `ops/pallas_tile.py`).
 
 All backends consume the relation-id layout produced by
 `data/batching.py` and produce identical results (tests assert allclose).
@@ -173,7 +175,7 @@ class TileOps:
         self.tiles, self.S = tile_adj.shape[0], tile_adj.shape[1]
         self.compute_dtype = compute_dtype
         self.dtype = compute_dtype or jnp.float32
-        self.tile_rel = tile_rel            # [T, S, S, 5] i8
+        self.tile_rel = tile_rel            # [T, 5, S, S] i8 (view-major)
         self.adj_f = tile_adj.astype(self.dtype)  # [T, S, S]
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
@@ -181,7 +183,7 @@ class TileOps:
         dictionary, masked to real edges (`layers.py:82-83`).  The one-hot
         contraction fuses into a compare-select-reduce (no [T,S,S,C]
         materialization)."""
-        rel = self.tile_rel[..., rel_col]
+        rel = self.tile_rel[:, rel_col]
         onehot = jax.nn.one_hot(rel, att_w.shape[0], dtype=att_w.dtype)
         return jax.nn.sigmoid(onehot @ att_w).astype(self.dtype) * self.adj_f
 
@@ -250,9 +252,11 @@ def make_ops(batch, backend: str = "ell", compute_dtype=None) -> GraphOps:
             num_nodes=batch.node_feat.shape[0],
         )
     if backend == "pallas":
-        from .pallas_spmm import PallasEllOps
+        from .pallas_tile import PallasTileOps
 
-        return PallasEllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask)
+        return PallasTileOps(batch.tile_adj, batch.tile_rel,
+                             num_nodes=batch.node_feat.shape[0],
+                             compute_dtype=compute_dtype)
     raise ValueError(f"unknown aggregation backend {backend!r}")
 
 

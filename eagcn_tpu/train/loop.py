@@ -89,7 +89,7 @@ class Experiment:
         )
         self.n_shards = max(1, int(t.num_data_shards))
         tile = 0
-        if cfg.model.backend == "tile":
+        if cfg.model.backend in ("tile", "pallas"):
             from ..data.batching import pick_tile_size
 
             tile = pick_tile_size(int(sizes.max()))

@@ -85,13 +85,15 @@ class TestNativeFeaturizer:
 
 
 class TestNativePacker:
-    def test_pack_matches_python(self, data_dir):
+    @pytest.mark.parametrize("tile_size", [0, 32])
+    def test_pack_matches_python(self, data_dir, tile_size):
         from eagcn_tpu.data import (
             BatchShape, GraphBatcher, get_spec, load_dataset,
         )
         ds = load_dataset(get_spec("freesolv"))
         idx = list(range(16))
-        shape = BatchShape(num_nodes=256, num_edges=512, num_mols=16)
+        shape = BatchShape(num_nodes=256 if not tile_size else 512,
+                           num_edges=512, num_mols=16, tile_size=tile_size)
         py = GraphBatcher(shape).pack(
             [ds.graphs[i] for i in idx],
             np.stack([ds.labels[i] for i in idx]), idx,
@@ -108,13 +110,16 @@ class TestNativePacker:
         subs = np.concatenate([g.subtypes for g in ds.graphs])
         out = native_pack(afm, bonds, rels, subs, node_off, bond_off, idx,
                           shape.num_nodes, shape.num_edges, shape.num_mols,
-                          shape.max_degree)
+                          shape.max_degree, tile_size=shape.tile_size)
         assert out is not None
-        for name in ("node_feat", "node_mol", "node_mask", "node_conn",
-                     "node_tiny", "node_subtype", "neigh", "neigh_rel",
-                     "neigh_mask", "neigh_rev", "edge_src", "edge_dst",
-                     "edge_rel", "edge_mask", "mol_size", "mol_index",
-                     "mol_mask"):
+        names = ["node_feat", "node_mol", "node_mask", "node_conn",
+                 "node_tiny", "node_subtype", "neigh", "neigh_rel",
+                 "neigh_mask", "neigh_rev", "edge_src", "edge_dst",
+                 "edge_rel", "edge_mask", "mol_size", "mol_index",
+                 "mol_mask"]
+        if tile_size:
+            names += ["tile_adj", "tile_rel"]
+        for name in names:
             np.testing.assert_array_equal(
                 out[name], getattr(py, name), err_msg=name
             )

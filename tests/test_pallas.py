@@ -1,5 +1,9 @@
-"""Pallas kernel tests (interpret mode on CPU; the real-TPU path is
-exercised by bench.py)."""
+"""Fused multi-view tile kernel (ops/pallas_tile.py) vs the XLA tile
+backend: forward, rowsums, and gradients must agree to fp32 noise.
+
+On CPU the kernel runs in Pallas interpret mode (same kernel code path);
+on TPU hardware the compiled kernel is exercised by
+`bench.py --backend pallas` and by CLI training runs."""
 
 import numpy as np
 import pytest
@@ -7,63 +11,146 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from eagcn_tpu.ops.pallas_spmm import PallasEllOps, ell_multi_spmm
+from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+from eagcn_tpu.data.synthetic import random_molecule_set
+from eagcn_tpu.models import apply_eagcn, init_eagcn
+from eagcn_tpu.ops.aggregate import TileOps
+from eagcn_tpu.ops.pallas_tile import PallasTileOps, fused_tile_multiview
+from eagcn_tpu.utils.config import ModelConfig
+
+S = 32
+N_BOND = 7
+N_RELS = (N_BOND, 4, 2, 2, 2)
 
 
-def _random_ell(rng, n, d, v, f):
-    x = rng.random((n, f), dtype=np.float32)
-    neigh = rng.integers(0, n, (n, d)).astype(np.int32)
-    w = rng.random((n, d, v), dtype=np.float32)
-    mask = (rng.random((n, d)) < 0.7).astype(np.float32)
-    w = w * mask[:, :, None]
-    return x, neigh, w
+def make_batch(n_mols=24, seed=0):
+    graphs, labels = random_molecule_set(
+        seed, n_mols, mean_atoms=11.0, n_bond_types=N_BOND, n_tasks=2
+    )
+    nodes = sum(g.num_atoms for g in graphs)
+    shape = BatchShape(
+        num_nodes=((nodes * 2 + S) // S) * S,
+        num_edges=sum(2 * g.num_bonds for g in graphs) + 64,
+        num_mols=n_mols,
+        tile_size=S,
+    )
+    return batch_to_jax(GraphBatcher(shape).pack(
+        graphs, labels, list(range(n_mols))))
 
 
-class TestEllMultiSpmm:
-    @pytest.mark.parametrize("n,d,v,f", [
-        (256, 6, 5, 128), (512, 6, 5, 24), (1024, 8, 1, 256),
-    ])
-    def test_matches_xla(self, n, d, v, f):
-        rng = np.random.default_rng(0)
-        x, neigh, w = _random_ell(rng, n, d, v, f)
-        ref = np.einsum("ndv,ndf->nvf", w, x[neigh])
-        out = ell_multi_spmm(
-            jnp.asarray(x), jnp.asarray(neigh), jnp.asarray(w),
-            block_rows=128, feature_tile=128, interpret=True,
+def make_atts(key):
+    ks = jax.random.split(key, 5)
+    return [jax.random.normal(ks[v], (N_RELS[v],), jnp.float32)
+            for v in range(5)]
+
+
+class TestFusedKernel:
+    def test_forward_matches_xla_tile(self):
+        batch = make_batch()
+        n = batch.node_feat.shape[0]
+        x = jax.random.normal(jax.random.key(1), (n, 24), jnp.float32)
+        atts = make_atts(jax.random.key(2))
+
+        xla = TileOps(batch.tile_adj, batch.tile_rel, n)
+        pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
+                            interpret=True)
+        agg, rows = pal.fused_multiview(atts, x)
+        for v in range(5):
+            sig = xla.scores(atts[v], v)
+            np.testing.assert_allclose(
+                rows[v], xla.rowsum(sig), rtol=1e-6, atol=1e-6,
+                err_msg=f"rowsum view {v}")
+            np.testing.assert_allclose(
+                agg[v], xla.aggregate(sig, x), rtol=1e-5, atol=1e-5,
+                err_msg=f"agg view {v}")
+
+    def test_grad_matches_xla_tile(self):
+        batch = make_batch()
+        n = batch.node_feat.shape[0]
+        x = jax.random.normal(jax.random.key(3), (n, 40), jnp.float32)
+        atts = make_atts(jax.random.key(4))
+        xla = TileOps(batch.tile_adj, batch.tile_rel, n)
+        pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
+                            interpret=True)
+        # scalar loss touching both outputs, with per-view weighting so
+        # gradient symmetry bugs can't cancel
+        wv = jnp.asarray([1.0, -0.5, 2.0, 0.25, -1.5])
+
+        def loss_pal(atts, x):
+            agg, rows = pal.fused_multiview(atts, x)
+            return jnp.sum(wv[:, None, None] * jnp.sin(agg)) + jnp.sum(
+                wv[:, None] * rows ** 2)
+
+        def loss_xla(atts, x):
+            tot = 0.0
+            for v in range(5):
+                sig = xla.scores(atts[v], v)
+                tot += wv[v] * jnp.sum(jnp.sin(xla.aggregate(sig, x)))
+                tot += wv[v] * jnp.sum(xla.rowsum(sig) ** 2)
+            return tot
+
+        (lp, gp) = jax.value_and_grad(loss_pal, argnums=(0, 1))(atts, x)
+        (lx, gx) = jax.value_and_grad(loss_xla, argnums=(0, 1))(atts, x)
+        np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+        for v in range(5):
+            np.testing.assert_allclose(gp[0][v], gx[0][v], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"datt view {v}")
+        np.testing.assert_allclose(gp[1], gx[1], rtol=1e-4, atol=1e-5,
+                                   err_msg="dx")
+
+    def test_feature_padding(self):
+        """F not a multiple of the feature tile exercises the pad/slice."""
+        batch = make_batch(n_mols=6, seed=5)
+        n = batch.node_feat.shape[0]
+        for f in (3, 129):
+            x = jax.random.normal(jax.random.key(f), (n, f), jnp.float32)
+            atts = make_atts(jax.random.key(6))
+            pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
+                                interpret=True)
+            xla = TileOps(batch.tile_adj, batch.tile_rel, n)
+            agg, _ = pal.fused_multiview(atts, x)
+            assert agg.shape == (5, n, f)
+            np.testing.assert_allclose(
+                agg[2], xla.aggregate(xla.scores(atts[2], 2), x),
+                rtol=1e-5, atol=1e-5)
+
+
+class TestPallasModel:
+    @pytest.mark.parametrize("structure", ["Concate", "Weighted_sum"])
+    def test_model_forward_and_grad_match_tile(self, structure):
+        batch = make_batch()
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(5, 4, 3, 4, 5), sgc2=(6, 5, 4, 5, 6),
+            n_den1=12, n_den2=8, n_tasks=2, dropout=0.0, structure=structure,
         )
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+        cfg_t = ModelConfig(backend="tile", **cfg)
+        cfg_p = ModelConfig(backend="pallas", **cfg)
+        params, state = init_eagcn(jax.random.key(0), cfg_t)
 
-    def test_unaligned_shapes_padded(self):
-        rng = np.random.default_rng(1)
-        x, neigh, w = _random_ell(rng, 100, 6, 5, 300)
-        ref = np.einsum("ndv,ndf->nvf", w, x[neigh])
-        out = ell_multi_spmm(jnp.asarray(x), jnp.asarray(neigh),
-                             jnp.asarray(w), block_rows=64, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+        def loss(p, c):
+            logits, _, _, _ = apply_eagcn(p, state, batch, c, train=True)
+            return jnp.sum(logits ** 2), logits
 
+        (l_t, o_t), g_t = jax.value_and_grad(loss, has_aux=True)(
+            params, cfg_t)
+        (l_p, o_p), g_p = jax.value_and_grad(loss, has_aux=True)(
+            params, cfg_p)
+        np.testing.assert_allclose(o_p, o_t, rtol=2e-5, atol=2e-5)
+        vec_p = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_p)])
+        vec_t = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_t)])
+        rel = np.linalg.norm(vec_p - vec_t) / np.linalg.norm(vec_t)
+        assert rel < 1e-4, f"grad rel-L2 {rel}"
 
-class TestPallasBackendParity:
-    def test_model_forward_matches_ell(self):
-        """Full model forward with backend='pallas' (interpret) == 'ell'."""
-        from eagcn_tpu.data import BatchShape, batch_to_jax, get_spec, \
-            iter_batches, load_dataset
-        from eagcn_tpu.models import apply_eagcn, init_eagcn
-        from eagcn_tpu.utils import benchmark_config
-        import eagcn_tpu.ops.aggregate as agg
-        from eagcn_tpu.ops.pallas_spmm import PallasEllOps
-
-        ds = load_dataset(get_spec("freesolv"))
-        cfg = benchmark_config("freesolv")
-        cfg.model.n_bfeat = ds.n_bfeat
-        cfg.model.dropout = 0.0
-        shape = BatchShape(num_nodes=256, num_edges=512, num_mols=8)
-        batch = batch_to_jax(next(iter_batches(ds, np.arange(8), shape)))
-        params, state = init_eagcn(jax.random.key(0), cfg.model)
-
-        outs = {}
-        for backend in ("ell", "pallas"):   # pallas auto-interprets on CPU
-            cfg.model.backend = backend
-            outs[backend] = np.asarray(
-                apply_eagcn(params, state, batch, cfg.model)[0])
-        np.testing.assert_allclose(outs["pallas"], outs["ell"],
-                                   rtol=1e-4, atol=1e-5)
+    def test_diffpool_consensus_path(self):
+        """molfp=pool forces the consensus branch, which recomputes scores
+        via the XLA fallback inside the pallas backend."""
+        batch = make_batch()
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(4,) * 5, sgc2=(5,) * 5,
+            n_den1=8, n_den2=8, n_tasks=1, dropout=0.0,
+            structure="Concate", molfp_mode="pool",
+        )
+        p, s = init_eagcn(jax.random.key(2), ModelConfig(backend="tile", **cfg))
+        o_t, _, _, _ = apply_eagcn(p, s, batch, ModelConfig(backend="tile", **cfg))
+        o_p, _, _, _ = apply_eagcn(p, s, batch, ModelConfig(backend="pallas", **cfg))
+        np.testing.assert_allclose(o_p, o_t, rtol=5e-5, atol=5e-5)

@@ -68,7 +68,7 @@ class TestTilePacking:
             t = d // S
             assert batch.tile_adj[t, d % S, s % S] == 1
             np.testing.assert_array_equal(
-                batch.tile_rel[t, d % S, s % S], r)
+                batch.tile_rel[t, :, d % S, s % S], r)
         assert batch.tile_adj.sum() == int(m.sum())
 
     def test_cross_tile_edge_rejected(self):
