@@ -50,15 +50,14 @@ def log(*a):
 # --------------------------------------------------------------------------
 
 N_MOLS = 8192              # ~850k directed edges: compute-bound, not dispatch
-DENSE_MOLS = 256           # dense reference baseline at its own best size
-                           # (B x N_max x N_max tensors OOM beyond this; its
-                           # per-edge throughput is size-independent)
+DENSE_MOLS = (256, 2048)   # dense reference baseline: measured at both and
+                           # scored at its BEST per-edge throughput
 MEAN_ATOMS = 25.0
 N_BOND_TYPES = 22          # tox21-like TypeAtt channel count
 WARMUP, STEPS = 3, 20
 
 
-def build_workload(n_mols: int = N_MOLS, backend: str = "tile"):
+def build_workload(n_mols: int = N_MOLS, backend: str = "pallas"):
     from eagcn_tpu.data.batching import (
         BatchShape, GraphBatcher, batch_to_jax, pick_tile_size,
     )
@@ -69,6 +68,7 @@ def build_workload(n_mols: int = N_MOLS, backend: str = "tile"):
     cfg.model.n_bfeat = N_BOND_TYPES
     cfg.model.backend = backend
     cfg.model.remat = backend in ("tile", "pallas")
+    cfg.model.bf16 = True     # production precision: bf16 flows, f32 accum
     graphs, labels = random_molecule_set(
         0, n_mols, mean_atoms=MEAN_ATOMS, n_bond_types=N_BOND_TYPES,
         n_tasks=cfg.model.n_tasks,
@@ -194,11 +194,14 @@ def init_dense_params(key, cfg):
 def dense_forward(params, adj, afm, rels, train=True):
     """Reference math, dense: per view A1 = Conv1x1(rel); A = sigmoid*adj +
     sigmoid(self_r)I mask + tiny; rownorm; bmm; BN; relu (`layers.py:81-95`,
-    `:293-325`); concat fusion; sum readout; MLP head."""
+    `:293-325`); concat fusion; sum readout; MLP head.  Matmuls run in bf16
+    with fp32 accumulation — the SAME precision budget as our sparse path,
+    so vs_baseline isolates the architecture, not the dtype."""
     B, N, _ = adj.shape
     eye = jnp.eye(N)[None]
     mask2 = (adj.max(2, keepdims=True) > 0).astype(jnp.float32)
     tiny = (1.0 - adj) * 1e-9
+    bf = jnp.bfloat16
     x = afm
     for layer in params["layers"]:
         outs = []
@@ -206,8 +209,11 @@ def dense_forward(params, adj, afm, rels, train=True):
             a1 = jnp.einsum("c,bcij->bij", blk["att"], rels[v])
             a = jax.nn.sigmoid(a1) * adj + jax.nn.sigmoid(blk["self_r"]) * eye * mask2 + tiny
             a = a / a.sum(2, keepdims=True) * mask2
-            h = jnp.einsum("bij,bjf->bif", a, x)
-            h = h @ blk["w"] + blk["b"]
+            h = jnp.einsum("bij,bjf->bif", a.astype(bf), x.astype(bf),
+                           preferred_element_type=jnp.float32)
+            h = jnp.einsum("bif,fo->bio", h.astype(bf),
+                           blk["w"].astype(bf),
+                           preferred_element_type=jnp.float32) + blk["b"]
             mean = h.mean((0, 1))
             var = h.var((0, 1))
             h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * blk["bn_scale"] + blk["bn_bias"]
@@ -219,12 +225,11 @@ def dense_forward(params, adj, afm, rels, train=True):
     return h @ params["den3"]
 
 
-def bench_dense(cfg, graphs, labels):
-    """Dense reference-algorithm baseline on its own (small) batch — the
-    B x N x N layout OOMs at mega-batch sizes, which is the point of the
-    sparse/tile redesign.  Throughput is normalized per edge, so the
-    comparison is size-fair."""
-    graphs, labels = graphs[:DENSE_MOLS], labels[:DENSE_MOLS]
+def bench_dense(cfg, graphs, labels, n_mols):
+    """Dense reference-algorithm baseline (per-batch-max padding, the
+    reference collate).  Throughput is normalized per edge, so the
+    comparison is size-fair; main() takes the best over batch sizes."""
+    graphs, labels = graphs[:n_mols], labels[:n_mols]
     real_edges = sum(2 * g.num_bonds for g in graphs)
     adj, afm, rels, y = build_dense_batch(graphs, labels)
     log(f"dense batch: adj {adj.shape}, rel tensors "
@@ -249,36 +254,65 @@ def bench_dense(cfg, graphs, labels):
     return real_edges / dt, dt
 
 
+def step_flops(cfg, batch, real_edges) -> float:
+    """Analytic FLOPs of one train step (fwd + 2x bwd [+1x remat refwd])
+    of the tile/pallas path — for the MFU/roofline diagnostic."""
+    from eagcn_tpu.models.eagcn import layer_widths
+
+    widths, _, _ = layer_widths(cfg.model)
+    n = batch.node_feat.shape[0]
+    if batch.tile_adj.size:
+        tile_cells = float(batch.tile_adj.shape[0]) * batch.tile_adj.shape[1] ** 2
+    else:
+        tile_cells = float(batch.neigh.shape[0]) * batch.neigh.shape[1]
+    fwd = 0.0
+    for f_in, outs in widths:
+        for f_out in outs:
+            f_agg = min(f_in, f_out) if (cfg.model.pre_transform and
+                                         max(outs) < f_in) else f_in
+            fwd += 2.0 * tile_cells * f_agg          # aggregation matmul
+            fwd += 2.0 * n * f_in * f_out            # projection matmul
+    mult = 4.0 if cfg.model.remat else 3.0           # bwd 2x (+ remat refwd)
+    return fwd * mult
+
+
 def main():
-    cfg, graphs, labels, batch, real_edges = build_workload()
+    backend = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    cfg, graphs, labels, batch, real_edges = build_workload(backend=backend)
     n_nodes = int(np.asarray(batch.node_mask).sum())
     log(f"workload: {N_MOLS} mols, {n_nodes} atoms, {real_edges} directed edges, "
-        f"packed shape nodes={batch.node_feat.shape[0]} edges={batch.edge_src.shape[0]}")
+        f"packed shape nodes={batch.node_feat.shape[0]} edges={batch.edge_src.shape[0]} "
+        f"tiles={batch.tile_adj.shape if batch.tile_adj.size else None}")
     log(f"device: {jax.devices()[0]}")
 
     sparse_eps, sparse_dt = bench_sparse(cfg, batch, real_edges)
+    flops = step_flops(cfg, batch, real_edges)
+    mfu = flops / sparse_dt / 197e12   # v5e bf16 peak 197 TFLOP/s
     log(f"{cfg.model.backend} mega-graph train step: {sparse_dt*1e3:.2f} ms -> "
-        f"{sparse_eps/1e6:.2f}M edges/s")
+        f"{sparse_eps/1e6:.2f}M edges/s "
+        f"({flops/1e9:.0f} GFLOP/step, MFU {mfu*100:.1f}% of v5e bf16 peak)")
 
     import signal
 
     def _timeout(signum, frame):
         raise TimeoutError("dense baseline exceeded time budget")
 
-    try:
-        # watchdog: the remote-compile path can take minutes; never let the
-        # baseline hang the harness
-        signal.signal(signal.SIGALRM, _timeout)
-        signal.alarm(900)
-        dense_eps, dense_dt = bench_dense(cfg, graphs, labels)
-        signal.alarm(0)
-        log(f"dense reference-algorithm step: {dense_dt*1e3:.2f} ms -> "
-            f"{dense_eps/1e6:.2f}M edges/s")
-        vs = sparse_eps / dense_eps
-    except Exception as e:  # OOM on big dense tensors, compile timeout, ...
-        signal.alarm(0)
-        log(f"dense baseline failed: {type(e).__name__}: {e}")
-        vs = float("nan")
+    dense_best = 0.0
+    signal.signal(signal.SIGALRM, _timeout)
+    for nd in DENSE_MOLS:
+        try:
+            # watchdog: the remote-compile path can take minutes; never let
+            # the baseline hang the harness
+            signal.alarm(900)
+            dense_eps, dense_dt = bench_dense(cfg, graphs, labels, nd)
+            signal.alarm(0)
+            log(f"dense reference-algorithm step (B={nd}): "
+                f"{dense_dt*1e3:.2f} ms -> {dense_eps/1e6:.2f}M edges/s")
+            dense_best = max(dense_best, dense_eps)
+        except Exception as e:  # OOM on big dense tensors, compile timeout...
+            signal.alarm(0)
+            log(f"dense baseline (B={nd}) failed: {type(e).__name__}: {e}")
+    vs = sparse_eps / dense_best if dense_best else float("nan")
 
     print(json.dumps({
         "metric": "eagcn_train_step_edge_throughput",

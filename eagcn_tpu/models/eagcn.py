@@ -126,6 +126,7 @@ def apply_eagcn(
     ops = make_ops(
         batch, cfg.backend,
         compute_dtype=jnp.bfloat16 if cfg.bf16 else None,
+        n_rels=(cfg.n_bfeat, 4, 2, 2, 2),
     )
     x = batch.node_feat
     new_state: State = {"layers": []}
@@ -139,6 +140,8 @@ def apply_eagcn(
                 return multiview_layer_apply(
                     p, s, ops, batch, xx, cfg.structure, cfg.dropout,
                     train, k, last=(_li == 3), axis_name=axis_name,
+                    need_consensus=(cfg.molfp_mode == "pool"),
+                    pre_transform=cfg.pre_transform,
                 )
 
             if cfg.remat:
@@ -165,14 +168,13 @@ def apply_eagcn(
             )
             new_state["layers"].append(s)
 
-    # readout / head / metrics run fp32 regardless of the bf16 graph path
-    x = x.astype(jnp.float32)
-    atom_reps = x
+    # readout moves bytes at compute width; head / metrics run fp32
+    atom_reps = x.astype(jnp.float32)
     B = batch.labels.shape[0]
 
     if cfg.molfp_mode == "pool" and consensus is not None:
         from .diffpool import diff_pooling_apply
-        mol = diff_pooling_apply(params, ops, batch, x, consensus)
+        mol = diff_pooling_apply(params, ops, batch, atom_reps, consensus)
     else:
         mol = segment_readout(x, batch.node_mol, B, batch.node_mask)
         if cfg.molfp_mode == "ave":                   # models.py:109-110

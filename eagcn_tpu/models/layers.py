@@ -82,6 +82,7 @@ def view_block_apply(
     precomputed_sig: Optional[jnp.ndarray] = None,
     precomputed_rowsum: Optional[jnp.ndarray] = None,
     need_sig: bool = True,
+    pre_y: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], State]:
     """Returns (activations [N, f_out], edge scores in backend layout,
     new state).  The edge scores correspond to the reference's returned
@@ -89,27 +90,44 @@ def view_block_apply(
     ran the fused multi-view aggregation, `precomputed_agg`/`sig`/`rowsum`
     skip the per-view work; with `need_sig=False` (fused kernel path —
     scores never leave VMEM) the returned sig is None unless something
-    below still requires it."""
+    below still requires it.
+
+    `pre_y` marks the narrow-side rewrite: the caller already computed
+    y = x @ W and `precomputed_agg` aggregated y, so only normalization +
+    bias remain here ((A@X)@W == A@(X@W) — the row-norm denominator is a
+    per-node scalar and commutes with the weight matmul)."""
+    dt = getattr(ops, "compute_dtype", None)
     sig = precomputed_sig
     if sig is None and (need_sig or precomputed_agg is None
                         or precomputed_rowsum is None):
         sig = ops.scores(params["att"], rel_col)
-    agg = (precomputed_agg if precomputed_agg is not None
-           else ops.aggregate(sig, x))
-    rows = (precomputed_rowsum if precomputed_rowsum is not None
-            else ops.rowsum(sig))
-    h = _normalize_with_self(params, batch, x, rows, agg)
-    h = h @ params["w"] + params["b"]
+    if pre_y is not None:
+        agg = precomputed_agg
+        rows = precomputed_rowsum
+        h = _normalize_with_self(params, batch, pre_y, rows, agg)
+        h = h + params["b"]
+    else:
+        agg = (precomputed_agg if precomputed_agg is not None
+               else ops.aggregate(sig, x))
+        rows = (precomputed_rowsum if precomputed_rowsum is not None
+                else ops.rowsum(sig))
+        h = _normalize_with_self(params, batch, x, rows, agg)
+        if dt is not None:
+            from ..ops.matmul import dot_bf16
+
+            h = dot_bf16(h, params["w"]) + params["b"]
+        else:
+            h = h @ params["w"] + params["b"]
     h_bn, bn_state = batch_norm_apply(
         params["bn"], state["bn"], h, batch.node_mask, train, axis_name
     )
     h = jax.nn.relu(h_bn)
-    h = dropout(h, drop_rate, rng, train)
-    dt = getattr(ops, "compute_dtype", None)
     if dt is not None:
         # store block activations at compute width so the NEXT layer's
-        # gathers read half-width rows (BN/matmul above accumulated fp32)
+        # reads are half-width (BN/matmul above accumulated fp32); cast
+        # BEFORE dropout so the mask-multiply moves half the bytes too
         h = h.astype(dt)
+    h = dropout(h, drop_rate, rng, train)
     return h, sig, {"bn": bn_state}
 
 
@@ -152,37 +170,61 @@ def init_multiview_layer(
 def multiview_layer_apply(
     params, state, ops: GraphOps, batch, x, structure: str,
     drop_rate: float, train: bool, rng, last: bool = False, axis_name=None,
+    need_consensus: bool = True, pre_transform: bool = True,
 ):
-    """Returns (fused activations, consensus-A info or None, new state)."""
+    """Returns (fused activations, consensus-A info or None, new state).
+
+    `pre_transform` enables the narrow-side rewrite on backends that
+    support per-view aggregation (tile/pallas): when every view's output
+    width is below the input width, compute y_v = x @ W_v FIRST and
+    aggregate the y_v — cuts aggregation FLOPs by f_in/f_out (3.5x at
+    tox21 widths) with bitwise-identical math up to float reordering."""
     rngs = jax.random.split(rng, 5) if rng is not None else [None] * 5
+    blocks = params["blocks"]
+    atts = [blocks[v]["att"] for v in range(5)]
+    outs = [int(blocks[v]["w"].shape[1]) for v in range(5)]
+    f_in = int(x.shape[1])
+    dt = getattr(ops, "compute_dtype", None)
+    use_pre = (pre_transform and hasattr(ops, "fused_multiview_pv")
+               and max(outs) < f_in)
+
     # fused paths: score all five views and read node features ONCE
     # (the reference re-reads the dense adjacency per view, layers.py:306-310)
-    agg_all = sig_all = rows_all = None
-    if hasattr(ops, "fused_multiview"):
-        # Pallas kernel: scores live in VMEM only; agg is [V, N, F]
-        agg_all, rows_all = ops.fused_multiview(
-            [params["blocks"][v]["att"] for v in range(5)], x
-        )
+    agg_list = sig_all = rows_all = ys = None
+    if use_pre:
+        ys = []
+        for v in range(5):
+            if dt is not None:
+                from ..ops.matmul import dot_bf16
+
+                y = dot_bf16(x, blocks[v]["w"]).astype(dt)
+            else:
+                y = jnp.einsum("nf,fo->no", x, blocks[v]["w"],
+                               preferred_element_type=jnp.float32)
+            ys.append(y)
+        agg_list, rows_all = ops.fused_multiview_pv(atts, ys)
+    elif hasattr(ops, "fused_multiview"):
+        # tile/pallas: scores stay in VMEM (pallas) / are built per view
+        agg_all, rows_all = ops.fused_multiview(atts, x)
+        agg_list = [agg_all[v] for v in range(5)]
     elif hasattr(ops, "multi_aggregate"):
         sig_all = jnp.stack(
-            [ops.scores(params["blocks"][v]["att"], VIEW_REL_COLUMNS[v])
+            [ops.scores(atts[v], VIEW_REL_COLUMNS[v])
              for v in range(5)], axis=-1)                    # [N, D, 5]
         agg_all = ops.multi_aggregate(sig_all, x)            # [N, 5, F]
+        agg_list = [agg_all[:, v, :] for v in range(5)]
     xs, sigs, new_bstates = [], [], []
     for v in range(5):
-        if rows_all is not None:          # fused kernel layout
-            pre_agg, pre_rows = agg_all[v], rows_all[v]
-        elif agg_all is not None:
-            pre_agg, pre_rows = agg_all[:, v, :], None
-        else:
-            pre_agg = pre_rows = None
+        pre_agg = agg_list[v] if agg_list is not None else None
+        pre_rows = rows_all[v] if rows_all is not None else None
         h, sig, bs = view_block_apply(
-            params["blocks"][v], state["blocks"][v], ops, batch, x,
+            blocks[v], state["blocks"][v], ops, batch, x,
             VIEW_REL_COLUMNS[v], drop_rate, train, rngs[v], axis_name,
             precomputed_agg=pre_agg,
             precomputed_sig=None if sig_all is None else sig_all[..., v],
             precomputed_rowsum=pre_rows,
-            need_sig=last,   # scores only leave the backend for consensus
+            need_sig=last and need_consensus,
+            pre_y=ys[v] if use_pre else None,
         )
         xs.append(h)
         sigs.append(sig)
@@ -199,7 +241,7 @@ def multiview_layer_apply(
         raise ValueError(f"unknown structure {structure!r}")
 
     consensus = None
-    if last:
+    if last and need_consensus:
         # consensus attention for pooling (`layers.py:318-324`): weighted
         # average of the five score maps, re-sigmoided, self-loop added,
         # row-normalized.  Kept in backend edge layout + per-node extras.

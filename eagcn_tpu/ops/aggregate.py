@@ -165,7 +165,8 @@ class TileOps:
     reference pads every molecule to the batch max."""
 
     def __init__(self, tile_adj, tile_rel, num_nodes: int,
-                 compute_dtype=None):
+                 compute_dtype=None, neigh_rel=None, neigh_mask=None,
+                 n_rels=None):
         if tile_adj.size == 0:
             raise ValueError(
                 "batch has no tiles — pack with BatchShape.tile_size > 0 "
@@ -177,6 +178,17 @@ class TileOps:
         self.dtype = compute_dtype or jnp.float32
         self.tile_rel = tile_rel            # [T, 5, S, S] i8 (view-major)
         self.adj_f = tile_adj.astype(self.dtype)  # [T, S, S]
+        # ELL relation view, used only to derive the static per-node
+        # relation-count tables for the exact rowsum shortcut below
+        self.neigh_rel = neigh_rel          # [N, D, 5] i32 or None
+        self.neigh_mask = neigh_mask        # [N, D] f32 or None
+        self._counts_cache = {}
+        # eager when channel counts are known: caching lazily inside a
+        # jax.checkpoint region would leak that region's tracers into the
+        # next layer's region
+        if n_rels is not None and neigh_rel is not None:
+            for v, c in enumerate(n_rels):
+                self._rel_counts(v, int(c))
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
         """Per-edge attention tile [T, S, S]: sigmoid over the relation
@@ -194,10 +206,12 @@ class TileOps:
         """[T,S,S] @ [T,S,F] batched matmul -> [N, F] fp32."""
         xt = x.reshape(self.tiles, self.S, -1)
         if self.compute_dtype is not None:
-            weights = weights.astype(self.compute_dtype)
-            xt = xt.astype(self.compute_dtype)
-        out = jnp.einsum("tij,tjf->tif", weights, xt,
-                         preferred_element_type=jnp.float32)
+            from .matmul import bmm_bf16
+
+            out = bmm_bf16(weights, xt)   # bf16 MXU rate fwd AND bwd
+        else:
+            out = jnp.einsum("tij,tjf->tif", weights, xt,
+                             preferred_element_type=jnp.float32)
         return out.reshape(self.num_nodes, -1)
 
     def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -207,6 +221,49 @@ class TileOps:
         outs = [self.aggregate(weights[..., v], x)
                 for v in range(weights.shape[-1])]
         return jnp.stack(outs, axis=1)
+
+    # -- multi-view layer interface (shared with PallasTileOps) ----------
+
+    def _rel_counts(self, v: int, n_c: int) -> jnp.ndarray:
+        """Static per-node relation histogram [N, C]: counts[i, c] =
+        #{real edges (i <- j) with relation-id c in view v}.  Derived from
+        the ELL relation table once per trace and reused across layers."""
+        key = (v, n_c)
+        if key not in self._counts_cache:
+            if self.neigh_rel is None:
+                raise ValueError(
+                    "rel_rowsums needs neigh_rel/neigh_mask (pass them to "
+                    "the tile backend constructor / make_ops)"
+                )
+            oh = jax.nn.one_hot(self.neigh_rel[:, :, v], n_c,
+                                dtype=jnp.float32)
+            self._counts_cache[key] = jnp.einsum(
+                "ndc,nd->nc", oh, self.neigh_mask)
+        return self._counts_cache[key]
+
+    def rel_rowsums(self, att_list) -> jnp.ndarray:
+        """Exact score row-sums [V, N] WITHOUT materializing score tensors:
+        sum_j sigw[rel[i,j]]*adj[i,j] == counts_i @ sigw — a tiny
+        differentiable matmul (the datt cotangent is counts^T @ g, a dense
+        reduction, not a scatter histogram)."""
+        rows = [self._rel_counts(v, int(a.shape[0])) @ jax.nn.sigmoid(a)
+                for v, a in enumerate(att_list)]
+        return jnp.stack(rows)
+
+    def fused_multiview(self, att_list, x):
+        """Five-view aggregation sharing x [N, F] -> (agg [V, N, F] f32,
+        rows [V, N]).  XLA formulation; PallasTileOps overrides with the
+        fused kernel."""
+        aggs = [self.aggregate(self.scores(a, v), x)
+                for v, a in enumerate(att_list)]
+        return jnp.stack(aggs), self.rel_rowsums(att_list)
+
+    def fused_multiview_pv(self, att_list, ys):
+        """Per-view features (narrow-side rewrite): ys is a list of five
+        [N, f_v].  Returns (list of [N, f_v] f32, rows [V, N])."""
+        aggs = [self.aggregate(self.scores(a, v), ys[v])
+                for v, a in enumerate(att_list)]
+        return aggs, self.rel_rowsums(att_list)
 
 
 class CooOps:
@@ -235,9 +292,12 @@ class CooOps:
         )
 
 
-def make_ops(batch, backend: str = "ell", compute_dtype=None) -> GraphOps:
+def make_ops(batch, backend: str = "ell", compute_dtype=None,
+             n_rels=None) -> GraphOps:
     """Builds the aggregation adapter for a GraphBatch.  `compute_dtype`
-    (bf16) is honoured by the ELL and tile backends; COO/Pallas stay fp32."""
+    (bf16) is honoured by the ELL, tile and pallas backends; COO stays
+    fp32.  `n_rels` (the five relation channel counts) lets the tile
+    backends precompute their rowsum count tables eagerly."""
     if backend == "ell":
         return EllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask,
                       neigh_rev=getattr(batch, "neigh_rev", None),
@@ -245,7 +305,10 @@ def make_ops(batch, backend: str = "ell", compute_dtype=None) -> GraphOps:
     if backend == "tile":
         return TileOps(batch.tile_adj, batch.tile_rel,
                        num_nodes=batch.node_feat.shape[0],
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       neigh_rel=batch.neigh_rel,
+                       neigh_mask=batch.neigh_mask,
+                       n_rels=n_rels)
     if backend == "coo":
         return CooOps(
             batch.edge_src, batch.edge_dst, batch.edge_rel, batch.edge_mask,
@@ -256,7 +319,10 @@ def make_ops(batch, backend: str = "ell", compute_dtype=None) -> GraphOps:
 
         return PallasTileOps(batch.tile_adj, batch.tile_rel,
                              num_nodes=batch.node_feat.shape[0],
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             neigh_rel=batch.neigh_rel,
+                             neigh_mask=batch.neigh_mask,
+                             n_rels=n_rels)
     raise ValueError(f"unknown aggregation backend {backend!r}")
 
 
@@ -264,7 +330,9 @@ def segment_readout(x: jnp.ndarray, node_mol: jnp.ndarray, num_mols: int,
                     node_mask: jnp.ndarray) -> jnp.ndarray:
     """Sum-over-atoms readout (`models.py:108` torch.sum(x2, 1)) for the
     packed mega-graph: segment-sum over molecule ids; padding nodes carry
-    segment id == num_mols and fall into a dummy slot that is dropped."""
-    x = x * node_mask[:, None]
+    segment id == num_mols and fall into a dummy slot that is dropped.
+    Runs at x's dtype (the scatter moves half the bytes in bf16 mode) and
+    returns fp32."""
+    x = x * node_mask[:, None].astype(x.dtype)
     summed = jax.ops.segment_sum(x, node_mol, num_segments=num_mols + 1)
-    return summed[:num_mols]
+    return summed[:num_mols].astype(jnp.float32)

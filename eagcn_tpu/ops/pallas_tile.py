@@ -1,29 +1,44 @@
 """Fused multi-view edge-attention SpMM — Pallas TPU kernel.
 
-One kernel computes, per [S, S] graph tile, everything the EAGCN layer
-needs from the relation tensors (`eagcn_pytorch/layers.py:82-92`
+One kernel computes, per [S, S] graph tile, the multi-view aggregation the
+EAGCN layer needs from the relation tensors (`eagcn_pytorch/layers.py:82-92`
 semantics):
 
-    sig_v[i,j]  = sigmoid(att_v[rel_v[i,j]]) * adj[i,j]      (5 views)
-    agg_v[i,:]  = sum_j sig_v[i,j] * x[j,:]                  (MXU matmul)
-    rows_v[i]   = sum_j sig_v[i,j]                           (row-norm denom)
+    sig_v[i,j]  = sigw_v[rel_v[i,j]] * adj[i,j]       (5 views, VMEM only)
+    agg_v[i,:]  = sum_j sig_v[i,j] * x_v[j,:]         (MXU matmul)
 
-The XLA tile backend materializes the five [T,S,S] fp32 score tensors in
-HBM every layer (written forward, re-read backward — ~0.5 GB of traffic
-per layer at bench scale).  This kernel keeps the scores in VMEM: HBM
-reads are the int8 relation tiles (`tile_rel [T,5,S,S]`, 5 bytes/cell vs
-20) and the feature tile; writes are the aggregated output only.  The
-backward (custom VJP) recomputes the scores from the same int8 inputs —
-flash-attention-style rematerialization — and is two more MXU matmuls per
-view plus a compare-select reduction for the attention-dictionary grads.
+where ``sigw_v = sigmoid(att_v)`` is computed OUTSIDE the kernel (a [V, C]
+table — autodiff handles the sigmoid; the custom VJP returns d sigw).  The
+score row-sums needed for row normalization are NOT computed here: they
+equal ``counts_v @ sigw_v`` with a static per-node relation-count table
+(see `TileOps.rel_rowsums`), an exact, tiny, differentiable XLA matmul.
 
-Grid: (T, F/TF); the feature axis is innermost so the per-tile scores are
-computed once (fi == 0) and stay resident in VMEM scratch across feature
-tiles.  All matmuls accumulate fp32 via `preferred_element_type`.
+Two variants share the kernel body:
+
+* shared-x (``fused_multiview``): all views aggregate the same features
+  [N, F] — used when f_in < f_out (layer 1).
+* per-view-x (``fused_multiview_pv``): x is [V, N, F], one feature set per
+  view — used by the "aggregate on the narrow side" rewrite
+  ((A @ X) @ W == A @ (X @ W), row-norm is a per-node scalar so it
+  commutes), which cuts aggregation FLOPs by f_in/f_out (3.5x at tox21
+  widths).
+
+Why a kernel at all: the XLA tile backend materializes the five [T,S,S]
+score tensors (plus one-hot temps) in HBM every layer — the round-2 bench
+OOM'd on exactly those temps.  Here scores live in VMEM scratch and are
+recomputed in the backward from the int8 relation tiles
+(flash-attention-style remat).  HBM traffic is the int8 tiles + features.
+
+Mosaic/v5e notes (found by probing the real compiler):
+* int8 vector compares are unsupported -> cast rel tiles to int32 first.
+* scalar broadcast from a VMEM vector causes an "invalid relayout" -> the
+  sigw table lives in SMEM and is read as scalars.
+* the attention-dictionary gradient is accumulated into an SMEM [V, C]
+  output across grid steps (sequential on TPU).
 
 Written per /opt/skills/guides/pallas_guide.md; numerically identical to
-`TileOps.scores`/`multi_aggregate` (tests/test_pallas.py, interpret mode
-on CPU, real kernel on TPU via bench.py --backend pallas).
+`TileOps` (tests/test_pallas.py runs interpret mode on CPU; the compiled
+kernel runs on TPU via bench.py and CLI training with --backend pallas).
 """
 
 from __future__ import annotations
@@ -42,10 +57,10 @@ V = 5
 
 def _pick_ftile(f: int, s: int) -> int:
     """Feature-tile width: lane-aligned, minimal padding, VMEM-bounded
-    (S=256 tiles halve the cap to keep fwd+bwd under the ~16MB budget)."""
-    cap = 512 if s <= 128 else 256
+    (per-view-x blocks are V x larger, so cap lower)."""
+    cap = 256 if s <= 128 else 128
     best, waste = 128, None
-    for tf in (128, 256, 384, 512):
+    for tf in (128, 256):
         if tf > cap:
             continue
         w = -(-f // tf) * tf - f
@@ -54,136 +69,142 @@ def _pick_ftile(f: int, s: int) -> int:
     return best
 
 
-def _scores_into(sig_ref, att_ref, adj_ref, rel_ref, n_rels):
-    """Recompute the five masked score maps into VMEM scratch.  The
-    attention dictionary is tiny (C <= n_bfeat), so the embedding lookup
-    unrolls into compare-selects on the VPU."""
-    sigw = jax.nn.sigmoid(att_ref[...])                  # [V, C]
-    adj = adj_ref[0].astype(jnp.float32)                 # [S, S]
+def _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels):
+    """Recompute the five masked score maps into VMEM scratch.  sigw is a
+    tiny SMEM table; the per-relation select unrolls into VPU
+    compare-multiply-adds (C <= n_bfeat passes over the [S, S] tile)."""
+    adj = adj_ref[0].astype(jnp.float32)
     for v in range(V):
-        relv = rel_ref[0, v]                             # [S, S] i8
+        relv = rel_ref[0, v].astype(jnp.int32)
         acc = jnp.zeros(adj.shape, jnp.float32)
         for c in range(n_rels[v]):
-            acc = jnp.where(relv == c, sigw[v, c], acc)
+            acc = acc + (relv == c).astype(jnp.float32) * sigw_ref[v, c]
         sig_ref[v] = acc * adj
-    return sigw
 
 
-def _fwd_kernel(att_ref, x_ref, adj_ref, rel_ref, agg_ref, rows_ref,
-                sig_ref, *, n_rels):
+def _fwd_kernel(sigw_ref, x_ref, adj_ref, rel_ref, agg_ref, sig_ref, *,
+                n_rels, shared):
     fi = pl.program_id(1)
 
     @pl.when(fi == 0)
     def _():
-        _scores_into(sig_ref, att_ref, adj_ref, rel_ref, n_rels)
-        for v in range(V):
-            rows_ref[v] = jnp.sum(sig_ref[v], axis=1)
+        _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels)
 
-    x = x_ref[...]
     for v in range(V):
-        agg_ref[v] = jnp.dot(sig_ref[v], x,
-                             preferred_element_type=jnp.float32)
+        x = x_ref[...] if shared else x_ref[v]
+        sig = sig_ref[v].astype(x.dtype)
+        agg_ref[v] = jnp.dot(
+            sig, x, preferred_element_type=jnp.float32
+        ).astype(agg_ref.dtype)
 
 
-def _bwd_kernel(att_ref, adj_ref, rel_ref, x_ref, g_agg_ref, g_rows_ref,
-                datt_ref, dx_ref, sig_ref, dsig_ref, *, n_rels):
+def _bwd_kernel(sigw_ref, adj_ref, rel_ref, x_ref, g_ref,
+                dsigw_ref, dx_ref, sig_ref, dsig_ref, *, n_rels, shared):
     t = pl.program_id(0)
     fi = pl.program_id(1)
     nfi = pl.num_programs(1)
 
     @pl.when(jnp.logical_and(t == 0, fi == 0))
     def _():
-        datt_ref[...] = jnp.zeros_like(datt_ref)
+        for v in range(V):
+            for c in range(n_rels[v]):
+                dsigw_ref[v, c] = 0.0
 
     @pl.when(fi == 0)
     def _():
-        _scores_into(sig_ref, att_ref, adj_ref, rel_ref, n_rels)
-        # d rowsum[v,i] / d sig[v,i,j] = 1  -> broadcast over columns
+        _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels)
         for v in range(V):
-            dsig_ref[v] = jnp.broadcast_to(
-                g_rows_ref[v][:, None], dsig_ref[v].shape
-            )
+            dsig_ref[v] = jnp.zeros_like(dsig_ref[v])
 
-    x = x_ref[...]                                        # [S, TF]
-    dx = jnp.zeros(x.shape, jnp.float32)
+    dx_shared = None
     for v in range(V):
-        gv = g_agg_ref[v]                                 # [S, TF]
+        x = x_ref[...] if shared else x_ref[v]
+        gv = g_ref[v]                                     # [S, TF]
+        sig = sig_ref[v].astype(gv.dtype)
         # dx[j,f] += sum_i sig[v,i,j] * g[v,i,f]   (contract row axis)
-        dx = dx + jax.lax.dot_general(
-            sig_ref[v], gv, (((0,), (0,)), ((), ())),
+        dxv = jax.lax.dot_general(
+            sig, gv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if shared:
+            dx_shared = dxv if dx_shared is None else dx_shared + dxv
+        else:
+            dx_ref[v] = dxv.astype(dx_ref.dtype)
         # dsig[v,i,j] += sum_f g[v,i,f] * x[j,f]   (contract feature axis)
         dsig_ref[v] += jax.lax.dot_general(
-            gv, x, (((1,), (1,)), ((), ())),
+            gv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    dx_ref[...] = dx
+    if shared:
+        dx_ref[...] = dx_shared.astype(dx_ref.dtype)
 
     @pl.when(fi == nfi - 1)
     def _():
-        sigw = jax.nn.sigmoid(att_ref[...])
         adj = adj_ref[0].astype(jnp.float32)
         for v in range(V):
             d = dsig_ref[v] * adj                        # mask non-edges
-            relv = rel_ref[0, v]
+            relv = rel_ref[0, v].astype(jnp.int32)
             for c in range(n_rels[v]):
-                grad_c = sigw[v, c] * (1.0 - sigw[v, c]) * jnp.sum(
-                    jnp.where(relv == c, d, 0.0)
+                grad_c = jnp.sum(
+                    (relv == c).astype(jnp.float32) * d
                 )
-                datt_ref[v, c] += grad_c
+                dsigw_ref[v, c] += grad_c
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
-                interpret: bool):
-    """Builds the custom-VJP fused op for one static tile geometry."""
+                shared: bool, xdtype_name: str, interpret: bool):
+    """Builds the custom-VJP fused op for one static geometry."""
+    xdtype = jnp.dtype(xdtype_name)
     grid = (t, f // tf)
-    att_spec = pl.BlockSpec((V, c_max), lambda ti, fi: (0, 0),
-                            memory_space=pltpu.VMEM)
+    sigw_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     adj_spec = pl.BlockSpec((1, s, s), lambda ti, fi: (ti, 0, 0),
                             memory_space=pltpu.VMEM)
     rel_spec = pl.BlockSpec((1, V, s, s), lambda ti, fi: (ti, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((s, tf), lambda ti, fi: (ti, fi),
-                          memory_space=pltpu.VMEM)
+    if shared:
+        x_spec = pl.BlockSpec((s, tf), lambda ti, fi: (ti, fi),
+                              memory_space=pltpu.VMEM)
+        x_scratch_shape = (s, tf)
+    else:
+        x_spec = pl.BlockSpec((V, s, tf), lambda ti, fi: (0, ti, fi),
+                              memory_space=pltpu.VMEM)
+        x_scratch_shape = (V, s, tf)
     vagg_spec = pl.BlockSpec((V, s, tf), lambda ti, fi: (0, ti, fi),
                              memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((V, s), lambda ti, fi: (0, ti),
-                             memory_space=pltpu.VMEM)
     n = t * s
+    flops_per_view = 2 * n * s * f
+    x_bytes = (n * f * xdtype.itemsize) * (1 if shared else V)
 
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_rels=n_rels),
+        functools.partial(_fwd_kernel, n_rels=n_rels, shared=shared),
         grid=grid,
-        in_specs=[att_spec, x_spec, adj_spec, rel_spec],
-        out_specs=(vagg_spec, rows_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((V, n, f), jnp.float32),
-            jax.ShapeDtypeStruct((V, n), jnp.float32),
-        ),
+        in_specs=[sigw_spec, x_spec, adj_spec, rel_spec],
+        out_specs=vagg_spec,
+        # agg at compute width (fp32-accumulated in VMEM): halves the HBM
+        # write + every downstream read in bf16 mode
+        out_shape=jax.ShapeDtypeStruct((V, n, f), xdtype),
         scratch_shapes=[pltpu.VMEM((V, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * V * n * s * f,
-            bytes_accessed=(6 * n * s) + 4 * (n * f * (1 + V)),
-            transcendentals=V * c_max,
+            flops=V * flops_per_view,
+            bytes_accessed=(6 * n * s) + x_bytes + 4 * V * n * f,
+            transcendentals=0,
         ),
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_rels=n_rels),
+        functools.partial(_bwd_kernel, n_rels=n_rels, shared=shared),
         grid=grid,
-        in_specs=[att_spec, adj_spec, rel_spec, x_spec, vagg_spec,
-                  rows_spec],
+        in_specs=[sigw_spec, adj_spec, rel_spec, x_spec, vagg_spec],
         out_specs=(
-            pl.BlockSpec((V, c_max), lambda ti, fi: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             x_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((V, c_max), jnp.float32),
-            jax.ShapeDtypeStruct((n, f), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (n, f) if shared else (V, n, f), xdtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((V, s, s), jnp.float32),
@@ -191,48 +212,62 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * V * n * s * f,
-            bytes_accessed=(6 * n * s) + 4 * (2 * n * f * (1 + V)),
-            transcendentals=V * c_max,
+            flops=2 * V * flops_per_view,
+            bytes_accessed=(6 * n * s) + 2 * x_bytes + 4 * V * n * f,
+            transcendentals=0,
         ),
     )
 
     @jax.custom_vjp
-    def fused(att, x, adj, rel):
-        return fwd_call(att, x, adj, rel)
+    def fused(sigw, x, adj, rel):
+        return fwd_call(sigw, x, adj, rel)
 
-    def fused_fwd(att, x, adj, rel):
-        return fwd_call(att, x, adj, rel), (att, x, adj, rel)
+    def fused_fwd(sigw, x, adj, rel):
+        return fwd_call(sigw, x, adj, rel), (sigw, x, adj, rel)
 
     def fused_bwd(res, g):
-        att, x, adj, rel = res
-        g_agg, g_rows = g
-        datt, dx = bwd_call(att, adj, rel, x, g_agg, g_rows)
-        return datt, dx, None, None
+        sigw, x, adj, rel = res
+        # cotangent at compute width: keeps the two backward MXU dots at
+        # bf16 rate (an f32 cotangent would silently drop them to fp32)
+        dsigw, dx = bwd_call(sigw, adj, rel, x, g.astype(xdtype))
+        return dsigw, dx, None, None
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
 
 
-def fused_tile_multiview(att, x, tile_adj, tile_rel, n_rels,
+def fused_tile_multiview(sigw, x, tile_adj, tile_rel, n_rels,
                          interpret=False):
-    """att [V, C_max] f32 (rows zero-padded past n_rels[v]); x [N, F] f32;
-    tile_adj [T, S, S] i8; tile_rel [T, V, S, S] i8.
-    Returns (agg [V, N, F] f32, rowsum [V, N] f32)."""
+    """sigw [V, C_max] f32 (= sigmoid(att), rows zero-padded past
+    n_rels[v]); x [N, F] (shared) or [V, N, F] (per-view); tile_adj
+    [T, S, S] i8; tile_rel [T, V, S, S] i8.  Returns agg [V, N, F] f32."""
     t, s = tile_adj.shape[0], tile_adj.shape[1]
-    n0, f0 = x.shape
+    shared = x.ndim == 2
+    n0, f0 = (x.shape if shared else x.shape[1:])
     assert n0 == t * s, (n0, t, s)
     tf = _pick_ftile(f0, s)
     f = -(-f0 // tf) * tf
     if f != f0:
-        x = jnp.pad(x, ((0, 0), (0, f - f0)))
-    fn = _make_fused(tuple(n_rels), s, tf, t, f, att.shape[1],
-                     bool(interpret))
-    agg, rows = fn(att.astype(jnp.float32), x.astype(jnp.float32),
-                   tile_adj, tile_rel)
+        pad = ((0, 0), (0, f - f0)) if shared else ((0, 0), (0, 0), (0, f - f0))
+        x = jnp.pad(x, pad)
+    fn = _make_fused(tuple(n_rels), s, tf, t, f, sigw.shape[1], shared,
+                     x.dtype.name, bool(interpret))
+    agg = fn(sigw.astype(jnp.float32), x, tile_adj, tile_rel)
     if f != f0:
         agg = agg[:, :, :f0]
-    return agg, rows
+    return agg
+
+
+def _pad_sigw(att_list):
+    """Stack per-view sigmoid tables into one sublane-aligned [V, C] f32
+    array (differentiable; padding rows get zero cotangents)."""
+    n_rels = tuple(int(a.shape[0]) for a in att_list)
+    c_max = -(-max(n_rels) // 8) * 8
+    sigw = jnp.zeros((V, c_max), jnp.float32)
+    for v, a in enumerate(att_list):
+        sigw = sigw.at[v, : n_rels[v]].set(
+            jax.nn.sigmoid(a.astype(jnp.float32)))
+    return sigw, n_rels
 
 
 class PallasTileOps(TileOps):
@@ -242,24 +277,46 @@ class PallasTileOps(TileOps):
     not 20 times per step."""
 
     def __init__(self, tile_adj, tile_rel, num_nodes: int,
-                 compute_dtype=None, interpret=None):
+                 compute_dtype=None, interpret=None,
+                 neigh_rel=None, neigh_mask=None, n_rels=None):
         super().__init__(tile_adj, tile_rel, num_nodes,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         neigh_rel=neigh_rel, neigh_mask=neigh_mask,
+                         n_rels=n_rels)
         self.tile_adj_i8 = tile_adj
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
 
+    def _kernel_x(self, x):
+        dt = self.compute_dtype
+        return x.astype(dt) if dt is not None and x.dtype != dt else x
+
     def fused_multiview(self, att_list, x):
-        """att_list: five [n_rels[v]] score dictionaries.  Returns
-        (agg [V, N, F] fp32, rowsum [V, N] fp32)."""
-        n_rels = tuple(int(a.shape[0]) for a in att_list)
-        c_max = -(-max(n_rels) // 8) * 8     # sublane-align the dict table
-        att = jnp.zeros((V, c_max), jnp.float32)
-        for v, a in enumerate(att_list):
-            att = att.at[v, : n_rels[v]].set(a.astype(jnp.float32))
-        xt = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
-        return fused_tile_multiview(
-            att, xt, self.tile_adj_i8, self.tile_rel, n_rels,
+        """att_list: five [n_rels[v]] attention dictionaries; x [N, F]
+        shared across views.  Returns (agg [V, N, F] f32, rows [V, N])."""
+        sigw, n_rels = _pad_sigw(att_list)
+        agg = fused_tile_multiview(
+            sigw, self._kernel_x(x), self.tile_adj_i8, self.tile_rel,
+            n_rels, interpret=self.interpret,
+        )
+        return agg, self.rel_rowsums(att_list)
+
+    def fused_multiview_pv(self, att_list, ys):
+        """Per-view features (the narrow-side rewrite): ys is a list of
+        five [N, f_v] arrays; views are padded to max(f_v) for the stacked
+        kernel and sliced back.  Returns (agg list of [N, f_v] f32,
+        rows [V, N])."""
+        sigw, n_rels = _pad_sigw(att_list)
+        fs = [int(y.shape[1]) for y in ys]
+        fmax = max(fs)
+        ys = [self._kernel_x(y) for y in ys]
+        xs = jnp.stack(
+            [y if f == fmax else jnp.pad(y, ((0, 0), (0, fmax - f)))
+             for y, f in zip(ys, fs)], axis=0)
+        agg = fused_tile_multiview(
+            sigw, xs, self.tile_adj_i8, self.tile_rel, n_rels,
             interpret=self.interpret,
         )
+        return [agg[v, :, : fs[v]] for v in range(V)], \
+            self.rel_rowsums(att_list)

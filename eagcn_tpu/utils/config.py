@@ -30,6 +30,10 @@ class ModelConfig:
     pool_num: int = 5                 # models.py:25
     backend: str = "ell"              # aggregation backend (ell|tile|coo|pallas)
     bf16: bool = False                # bf16 activations through graph layers
+    pre_transform: bool = True        # narrow-side rewrite A@(XW) when
+                                      # f_out < f_in (tile/pallas backends;
+                                      # identical math, fewer FLOPs — turn
+                                      # off for strict op-order parity)
     remat: bool = False               # jax.checkpoint each graph layer:
                                       # recompute activations in backward
                                       # instead of saving [N,V,F] residuals

@@ -62,7 +62,10 @@ def test_grads_finite_and_match_sign():
     # gradients point the same way overall
     cos = jnp.vdot(flat32, flat16) / (
         jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12)
-    assert float(cos) > 0.98, float(cos)
+    # backward matmuls run with bf16 cotangents (ops/matmul.py) — the MXU
+    # rate win costs a little gradient fidelity; convergence is asserted
+    # end-to-end by test_bf16_train_step_runs and the benchmark runs
+    assert float(cos) > 0.96, float(cos)
 
 
 def test_bf16_train_step_runs():

@@ -2,8 +2,8 @@
 backend: forward, rowsums, and gradients must agree to fp32 noise.
 
 On CPU the kernel runs in Pallas interpret mode (same kernel code path);
-on TPU hardware the compiled kernel is exercised by
-`bench.py --backend pallas` and by CLI training runs."""
+on TPU hardware the compiled kernel is exercised by bench.py (pallas is
+the default bench backend) and by CLI training with --backend pallas."""
 
 import numpy as np
 import pytest
@@ -15,7 +15,7 @@ from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
 from eagcn_tpu.data.synthetic import random_molecule_set
 from eagcn_tpu.models import apply_eagcn, init_eagcn
 from eagcn_tpu.ops.aggregate import TileOps
-from eagcn_tpu.ops.pallas_tile import PallasTileOps, fused_tile_multiview
+from eagcn_tpu.ops.pallas_tile import PallasTileOps
 from eagcn_tpu.utils.config import ModelConfig
 
 S = 32
@@ -38,6 +38,15 @@ def make_batch(n_mols=24, seed=0):
         graphs, labels, list(range(n_mols))))
 
 
+def make_ops_pair(batch):
+    n = batch.node_feat.shape[0]
+    kw = dict(neigh_rel=batch.neigh_rel, neigh_mask=batch.neigh_mask)
+    xla = TileOps(batch.tile_adj, batch.tile_rel, n, **kw)
+    pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
+                        interpret=True, **kw)
+    return xla, pal
+
+
 def make_atts(key):
     ks = jax.random.split(key, 5)
     return [jax.random.normal(ks[v], (N_RELS[v],), jnp.float32)
@@ -51,9 +60,7 @@ class TestFusedKernel:
         x = jax.random.normal(jax.random.key(1), (n, 24), jnp.float32)
         atts = make_atts(jax.random.key(2))
 
-        xla = TileOps(batch.tile_adj, batch.tile_rel, n)
-        pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
-                            interpret=True)
+        xla, pal = make_ops_pair(batch)
         agg, rows = pal.fused_multiview(atts, x)
         for v in range(5):
             sig = xla.scores(atts[v], v)
@@ -69,9 +76,7 @@ class TestFusedKernel:
         n = batch.node_feat.shape[0]
         x = jax.random.normal(jax.random.key(3), (n, 40), jnp.float32)
         atts = make_atts(jax.random.key(4))
-        xla = TileOps(batch.tile_adj, batch.tile_rel, n)
-        pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
-                            interpret=True)
+        xla, pal = make_ops_pair(batch)
         # scalar loss touching both outputs, with per-view weighting so
         # gradient symmetry bugs can't cancel
         wv = jnp.asarray([1.0, -0.5, 2.0, 0.25, -1.5])
@@ -98,6 +103,32 @@ class TestFusedKernel:
         np.testing.assert_allclose(gp[1], gx[1], rtol=1e-4, atol=1e-5,
                                    err_msg="dx")
 
+    def test_per_view_features_match_xla(self):
+        """The narrow-side (pre-transform) variant: per-view feature sets,
+        including ragged widths that exercise the pad/slice."""
+        batch = make_batch(n_mols=12, seed=7)
+        n = batch.node_feat.shape[0]
+        widths = (24, 16, 16, 8, 24)
+        ys = [jax.random.normal(jax.random.key(10 + v), (n, widths[v]),
+                                jnp.float32) for v in range(5)]
+        atts = make_atts(jax.random.key(11))
+        xla, pal = make_ops_pair(batch)
+
+        def loss(ops_obj, atts, ys):
+            aggs, rows = ops_obj.fused_multiview_pv(atts, ys)
+            return sum(jnp.sum(jnp.sin(a)) for a in aggs) + jnp.sum(rows ** 2)
+
+        (lp, gp) = jax.value_and_grad(
+            lambda a, y: loss(pal, a, y), argnums=(0, 1))(atts, ys)
+        (lx, gx) = jax.value_and_grad(
+            lambda a, y: loss(xla, a, y), argnums=(0, 1))(atts, ys)
+        np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+        for v in range(5):
+            np.testing.assert_allclose(gp[0][v], gx[0][v], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"datt view {v}")
+            np.testing.assert_allclose(gp[1][v], gx[1][v], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"dy view {v}")
+
     def test_feature_padding(self):
         """F not a multiple of the feature tile exercises the pad/slice."""
         batch = make_batch(n_mols=6, seed=5)
@@ -105,9 +136,7 @@ class TestFusedKernel:
         for f in (3, 129):
             x = jax.random.normal(jax.random.key(f), (n, f), jnp.float32)
             atts = make_atts(jax.random.key(6))
-            pal = PallasTileOps(batch.tile_adj, batch.tile_rel, n,
-                                interpret=True)
-            xla = TileOps(batch.tile_adj, batch.tile_rel, n)
+            xla, pal = make_ops_pair(batch)
             agg, _ = pal.fused_multiview(atts, x)
             assert agg.shape == (5, n, f)
             np.testing.assert_allclose(
@@ -140,6 +169,34 @@ class TestPallasModel:
         vec_t = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_t)])
         rel = np.linalg.norm(vec_p - vec_t) / np.linalg.norm(vec_t)
         assert rel < 1e-4, f"grad rel-L2 {rel}"
+
+    def test_pre_transform_matches_direct_order(self):
+        """A@(XW) == (A@X)@W up to float reordering — the rewrite must not
+        change the model function."""
+        batch = make_batch()
+        cfg = dict(
+            n_bfeat=N_BOND, sgc1=(8, 8, 8, 8, 8), sgc2=(4, 4, 4, 4, 4),
+            n_den1=12, n_den2=8, n_tasks=2, dropout=0.0,
+            structure="Concate", backend="tile",
+        )
+        cfg_pre = ModelConfig(pre_transform=True, **cfg)
+        cfg_dir = ModelConfig(pre_transform=False, **cfg)
+        params, state = init_eagcn(jax.random.key(1), cfg_pre)
+
+        def loss(p, c):
+            logits, _, _, _ = apply_eagcn(p, state, batch, c, train=True)
+            return jnp.sum(logits ** 2), logits
+
+        (_, o_a), g_a = jax.value_and_grad(loss, has_aux=True)(
+            params, cfg_pre)
+        (_, o_b), g_b = jax.value_and_grad(loss, has_aux=True)(
+            params, cfg_dir)
+        # float reassociation compounds through 4 BN layers: loose-ish tols
+        np.testing.assert_allclose(o_a, o_b, rtol=5e-3, atol=5e-5)
+        va = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_a)])
+        vb = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_b)])
+        rel = np.linalg.norm(va - vb) / np.linalg.norm(vb)
+        assert rel < 5e-3, f"grad rel-L2 {rel}"
 
     def test_diffpool_consensus_path(self):
         """molfp=pool forces the consensus branch, which recomputes scores

@@ -115,7 +115,9 @@ class TestTileVsEll:
             n_den1=12, n_den2=8, n_tasks=2, dropout=0.0, structure=structure,
         )
         cfg_ell = ModelConfig(backend="ell", **cfg)
-        cfg_tile = ModelConfig(backend="tile", **cfg)
+        # pre_transform off: this test pins EXACT op-order agreement with
+        # ELL; the (reassociating) rewrite is covered by test_pallas
+        cfg_tile = ModelConfig(backend="tile", pre_transform=False, **cfg)
         params, state = init_eagcn(jax.random.key(0), cfg_ell)
 
         def loss(p, c):
