@@ -47,6 +47,7 @@ class PartitionedGraph:
     node_mask: np.ndarray    # [S, Ns] f32
     node_conn: np.ndarray    # [S, Ns] f32
     node_tiny: np.ndarray    # [S, Ns] f32
+    node_mol: np.ndarray     # [S, Ns] int32 graph segment id (padding -> G)
 
     @property
     def num_shards(self) -> int:
@@ -71,28 +72,45 @@ _jtu.register_dataclass(
 
 
 def partition_giant_graph(
-    g: MolGraph, n_shards: int, max_degree: int = 8
+    g, n_shards: int, max_degree: int = 8
 ) -> PartitionedGraph:
     """Host-side partitioner: contiguous node ranges, per-shard ELL tables,
-    deduplicated halo id lists padded to the max across shards."""
-    n = g.num_atoms
+    deduplicated halo id lists padded to the max across shards.
+
+    `g` may be one MolGraph or a LIST of them (a batch of giant graphs,
+    each spanning all shards): graphs are concatenated node-wise and
+    `node_mol` carries the per-node graph segment id for the readout."""
+    graphs = list(g) if isinstance(g, (list, tuple)) else [g]
+    sizes = [gr.num_atoms for gr in graphs]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    n = int(offs[-1])
     ns = -(-n // n_shards)            # nodes per shard (ceil)
     n_pad = ns * n_shards
+
+    mol_of = np.full(n_pad, len(graphs), np.int32)
+    mol_n = np.zeros(n_pad, np.int32)  # own molecule's atom count
+    for gi, gr in enumerate(graphs):
+        mol_of[offs[gi]:offs[gi + 1]] = gi
+        mol_n[offs[gi]:offs[gi + 1]] = sizes[gi]
 
     deg = np.zeros(n_pad, np.int32)
     neigh_g = np.zeros((n_pad, max_degree), np.int32)
     rel_g = np.zeros((n_pad, max_degree, 5), np.int32)
     nmask_g = np.zeros((n_pad, max_degree), np.float32)
-    for k in range(g.num_bonds):
-        a, b = int(g.bonds[k, 0]), int(g.bonds[k, 1])
-        rel = g.bond_relations[k]
-        for (s, d) in ((a, b), (b, a)):
-            if deg[d] >= max_degree:
-                raise ValueError(f"node {d} exceeds max_degree {max_degree}")
-            neigh_g[d, deg[d]] = s
-            rel_g[d, deg[d]] = rel
-            nmask_g[d, deg[d]] = 1.0
-            deg[d] += 1
+    for gi, gr in enumerate(graphs):
+        base = int(offs[gi])
+        for k in range(gr.num_bonds):
+            a = base + int(gr.bonds[k, 0])
+            b = base + int(gr.bonds[k, 1])
+            rel = gr.bond_relations[k]
+            for (s, d) in ((a, b), (b, a)):
+                if deg[d] >= max_degree:
+                    raise ValueError(
+                        f"node {d} exceeds max_degree {max_degree}")
+                neigh_g[d, deg[d]] = s
+                rel_g[d, deg[d]] = rel
+                nmask_g[d, deg[d]] = 1.0
+                deg[d] += 1
 
     owner = lambda v: v // ns
     halo_lists = []
@@ -109,7 +127,8 @@ def partition_giant_graph(
     h = max(h, 1)
 
     S = n_shards
-    feat = np.zeros((S, ns, g.atom_features.shape[1]), np.float32)
+    all_feat = np.concatenate([gr.atom_features for gr in graphs])
+    feat = np.zeros((S, ns, all_feat.shape[1]), np.float32)
     neigh = np.zeros((S, ns, max_degree), np.int32)
     rels = np.zeros((S, ns, max_degree, 5), np.int32)
     nmask = np.zeros((S, ns, max_degree), np.float32)
@@ -117,18 +136,22 @@ def partition_giant_graph(
     halo_mask = np.zeros((S, h), np.float32)
     node_mask = np.zeros((S, ns), np.float32)
     node_tiny = np.zeros((S, ns), np.float32)
+    node_mol = np.full((S, ns), len(graphs), np.int32)
 
     for s in range(S):
         lo = s * ns
         cnt = min(ns, n - lo) if lo < n else 0
-        feat[s, :cnt] = g.atom_features[lo:lo + cnt]
+        feat[s, :cnt] = all_feat[lo:lo + cnt]
         node_mask[s, :cnt] = 1.0
+        node_mol[s, :cnt] = mol_of[lo:lo + cnt]
         remote_index = {v: ns + j for j, v in enumerate(halo_lists[s])}
         halo_ids[s, : len(halo_lists[s])] = halo_lists[s]
         halo_mask[s, : len(halo_lists[s])] = 1.0
         for i in range(cnt):
             gidx = lo + i
-            node_tiny[s, i] = (n - deg[gidx]) * TINY
+            # tiny mass: own molecule's (n_mol - deg) * 1e-9, identical to
+            # the GraphBatcher (data/batching.py)
+            node_tiny[s, i] = (mol_n[gidx] - deg[gidx]) * TINY
             for d in range(deg[gidx]):
                 src = int(neigh_g[gidx, d])
                 neigh[s, i, d] = (
@@ -141,7 +164,7 @@ def partition_giant_graph(
     return PartitionedGraph(
         node_feat=feat, neigh=neigh, neigh_rel=rels, neigh_mask=nmask,
         halo_ids=halo_ids, halo_mask=halo_mask, node_mask=node_mask,
-        node_conn=node_conn, node_tiny=node_tiny,
+        node_conn=node_conn, node_tiny=node_tiny, node_mol=node_mol,
     )
 
 

@@ -1,0 +1,133 @@
+"""FULL-model edge partitioning (parallel/sharded_model.py): the complete
+4-layer 5-view EAGCN over a 4-shard partitioned giant graph must match the
+single-device model on the same graph — loss, logits, AND gradients — on a
+CPU mesh (conftest forces 8 virtual devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+from eagcn_tpu.data.synthetic import giant_graph
+from eagcn_tpu.models import apply_eagcn, init_eagcn
+from eagcn_tpu.parallel import make_mesh
+from eagcn_tpu.parallel.edge_partition import partition_giant_graph
+from eagcn_tpu.parallel.sharded_model import (
+    make_partitioned_eval,
+    make_partitioned_train_step,
+)
+from eagcn_tpu.train import make_optimizer
+from eagcn_tpu.utils.config import ModelConfig
+
+N_SHARDS = 4
+N_BOND = 6
+MAXD = 8
+N_GRAPHS = 3
+
+
+def setup(dropout=0.0):
+    cfg = ModelConfig(
+        n_bfeat=N_BOND, sgc1=(6, 5, 4, 5, 6), sgc2=(5, 4, 6, 4, 5),
+        n_den1=12, n_den2=8, n_tasks=2, dropout=dropout,
+        structure="Concate", backend="ell",
+    )
+    # a BATCH of giant graphs, each spanning shard boundaries
+    ggs = [giant_graph(3 + i, nn, avg_degree=3.5, n_bond_types=N_BOND,
+                       max_degree=MAXD)
+           for i, nn in enumerate((96, 128, 160))]
+    part = jax.tree_util.tree_map(
+        jnp.asarray, partition_giant_graph(ggs, N_SHARDS, max_degree=MAXD))
+    # single-device reference: the same graphs as a mega-batch (packed in
+    # the same contiguous node order)
+    n = sum(g.num_atoms for g in ggs)
+    shape = BatchShape(num_nodes=n,
+                       num_edges=sum(2 * g.num_bonds for g in ggs),
+                       num_mols=N_GRAPHS, max_degree=MAXD)
+    labels = np.asarray([[0.3, -1.2], [1.0, 0.1], [-0.5, 2.0]], np.float32)
+    batch = batch_to_jax(GraphBatcher(shape).pack(ggs, labels, [0, 1, 2]))
+    params, state = init_eagcn(jax.random.key(0), cfg)
+    return cfg, part, batch, jnp.asarray(labels), params, state
+
+
+class TestPartitionedFullModel:
+    def test_forward_matches_single_device(self):
+        cfg, part, batch, labels, params, state = setup()
+        mesh = make_mesh(graph=N_SHARDS)
+        ev = make_partitioned_eval(cfg, mesh, n_graphs=N_GRAPHS)
+        logits_p = ev(params, state, part)
+        logits_s, _, _, _ = apply_eagcn(params, state, batch, cfg,
+                                        train=False)
+        np.testing.assert_allclose(logits_p, logits_s, rtol=1e-5, atol=1e-5)
+
+    def test_train_step_matches_single_device(self):
+        """One full train step (fwd + bwd + SGD) on the partitioned model
+        must produce the same loss and the same updated parameters as the
+        single-device model — this pins the grad psum split (layer grads
+        partial-summed, head grads replicated).
+
+        SGD, not Adam: every view-block `b` (and `graph_bn.bias`) feeds
+        straight into a BatchNorm, so its true gradient is exactly zero and
+        what autodiff produces is fp-reassociation noise (~1e-8).  Adam
+        normalizes that noise to a full +-lr step whose SIGN depends on
+        summation order — a meaningless comparison across shardings.  SGD
+        keeps zero-gradient params in place, so parity here checks the real
+        gradient signal."""
+        import optax
+
+        cfg, part, batch, labels, params, state = setup()
+        mesh = make_mesh(graph=N_SHARDS)
+        tx = optax.sgd(1e-2)
+        opt_state = tx.init(params)
+
+        step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=N_GRAPHS)
+        p_p, s_p, _, loss_p = step(params, state, opt_state, part, labels,
+                                   None)
+
+        def loss_fn(p):
+            logits, _, _, new_state = apply_eagcn(p, state, batch, cfg,
+                                                  train=True)
+            return jnp.mean((logits - labels) ** 2), new_state
+
+        (loss_s, s_s), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, _ = tx.update(grads, opt_state, params)
+        p_s = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=2e-4)
+        for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_p),
+            jax.tree_util.tree_leaves_with_path(p_s),
+        ):
+            # atol 3e-4: psum-of-partials vs one big reduction reorders fp32
+            # sums (observed ~1e-4 on lr=1e-2 updates); the bug class this
+            # guards against (mis-psum'd grads) shows up at 1e-2+.
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=3e-4,
+                err_msg=jax.tree_util.keystr(ka))
+        # BN running stats must match too (psum'd moments == global moments)
+        for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_p["layers"]),
+            jax.tree_util.tree_leaves_with_path(s_s["layers"]),
+        ):
+            np.testing.assert_allclose(
+                a, b, rtol=5e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(ka))
+
+    def test_training_reduces_loss(self):
+        """A few steps with dropout on: loss goes down and stays finite
+        (mechanics of the rng split: per-shard node dropout, replicated
+        head dropout)."""
+        cfg, part, batch, labels, params, state = setup(dropout=0.2)
+        mesh = make_mesh(graph=N_SHARDS)
+        tx = make_optimizer(5e-3, 0.0)
+        opt_state = tx.init(params)
+        step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=N_GRAPHS)
+        losses = []
+        for i in range(8):
+            params, state, opt_state, loss = step(
+                params, state, opt_state, part, labels, jax.random.key(i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
