@@ -167,6 +167,109 @@ def init_multiview_layer(
     return params, state
 
 
+def _multiview_layer_fused(
+    params, state, ops: GraphOps, batch, x, structure: str,
+    drop_rate: float, train: bool, rng, axis_name, pre_transform: bool,
+):
+    """Fast path for EQUAL per-view widths (every reference benchmark
+    config): the five per-view projections collapse into ONE matmul, the
+    five BatchNorms into ONE BN over the concatenated features (statistics
+    are per-feature, so this is the same math), and the five dropouts into
+    one mask.  Cuts the per-layer op count ~5x — on TPU the small per-view
+    dots ran far below MXU peak and each BN cost full f32 passes over HBM.
+    Semantics: `eagcn_pytorch/layers.py:81-95` per view, `:313-316`
+    fusion."""
+    blocks = params["blocks"]
+    atts = [blocks[v]["att"] for v in range(5)]
+    f = int(blocks[0]["w"].shape[1])
+    f_in = int(x.shape[1])
+    dt = getattr(ops, "compute_dtype", None)
+    conn = batch.node_conn
+
+    w_cat = jnp.concatenate([blocks[v]["w"] for v in range(5)], axis=1)
+    b_cat = jnp.concatenate([blocks[v]["b"] for v in range(5)])
+    sr = jnp.stack([jax.nn.sigmoid(blocks[v]["self_r"])
+                    for v in range(5)])                     # [5]
+
+    use_pre = (pre_transform and f < f_in
+               and hasattr(ops, "fused_multiview_pv"))
+    if use_pre:
+        # narrow-side rewrite: y = x @ W first ((A@X)@W == A@(X@W); the
+        # row norm is a per-node scalar and commutes), ONE [N,f_in]@[f_in,5f]
+        if dt is not None:
+            from ..ops.matmul import dot_bf16
+
+            y = dot_bf16(x, w_cat).astype(dt)
+        else:
+            y = jnp.einsum("nf,fo->no", x, w_cat,
+                           preferred_element_type=jnp.float32)
+        ys = [y[:, v * f:(v + 1) * f] for v in range(5)]
+        agg_list, rows = ops.fused_multiview_pv(atts, ys)   # 5x[N,f], [5,N]
+        denom = (rows + sr[:, None] * conn[None] + batch.node_tiny[None]
+                 + (1.0 - conn)[None])                      # [5, N]
+        h = jnp.concatenate(
+            [(agg_list[v] + (sr[v] * conn)[:, None] * ys[v].astype(jnp.float32))
+             / denom[v][:, None] for v in range(5)], axis=1) + b_cat
+    else:
+        if hasattr(ops, "fused_multiview"):
+            agg_all, rows = ops.fused_multiview(atts, x)    # [5,N,f_in],[5,N]
+        else:
+            sig_all = jnp.stack(
+                [ops.scores(atts[v], VIEW_REL_COLUMNS[v])
+                 for v in range(5)], axis=-1)        # [N, D, 5] ell / [E, 5] coo
+            agg_all = ops.multi_aggregate(sig_all, x).transpose(1, 0, 2)
+            rows = jnp.stack([ops.rowsum(sig_all[..., v])
+                              for v in range(5)]).astype(jnp.float32)
+        denom = (rows + sr[:, None] * conn[None] + batch.node_tiny[None]
+                 + (1.0 - conn)[None])                      # [5, N]
+        hs = ((agg_all + sr[:, None, None] * (conn[:, None] * x.astype(
+            jnp.float32))[None]) / denom[:, :, None])       # [5, N, f_in]
+        w_stack = jnp.stack([blocks[v]["w"] for v in range(5)])  # [5,f_in,f]
+        if dt is not None:
+            from ..ops.matmul import bmm_bf16
+
+            h = bmm_bf16(hs, w_stack)                       # [5, N, f]
+        else:
+            h = jnp.einsum("vnf,vfo->vno", hs, w_stack,
+                           preferred_element_type=jnp.float32)
+        h = h.transpose(1, 0, 2).reshape(-1, 5 * f) + b_cat
+
+    # one BN over the concatenation == five per-view BNs (per-feature stats)
+    bn_p = {
+        "scale": jnp.concatenate([blocks[v]["bn"]["scale"]
+                                  for v in range(5)]),
+        "bias": jnp.concatenate([blocks[v]["bn"]["bias"]
+                                 for v in range(5)]),
+    }
+    bn_s = {
+        "mean": jnp.concatenate([state["blocks"][v]["bn"]["mean"]
+                                 for v in range(5)]),
+        "var": jnp.concatenate([state["blocks"][v]["bn"]["var"]
+                                for v in range(5)]),
+    }
+    h_bn, bn_s2 = batch_norm_apply(bn_p, bn_s, h, batch.node_mask, train,
+                                   axis_name)
+    h = jax.nn.relu(h_bn)
+    if dt is not None:
+        h = h.astype(dt)
+    h = dropout(h, drop_rate, rng, train)
+
+    act_dt = h.dtype
+    if structure == "Concate":
+        fused = h * conn[:, None].astype(act_dt)            # layers.py:313
+    else:                                                   # Weighted_sum
+        fused = jnp.einsum(
+            "nvf,v->nf", h.reshape(-1, 5, f),
+            params["ave"].astype(act_dt))                   # layers.py:314-316
+
+    new_bstates = [
+        {"bn": {"mean": bn_s2["mean"][v * f:(v + 1) * f],
+                "var": bn_s2["var"][v * f:(v + 1) * f]}}
+        for v in range(5)
+    ]
+    return fused, None, {"blocks": new_bstates}
+
+
 def multiview_layer_apply(
     params, state, ops: GraphOps, batch, x, structure: str,
     drop_rate: float, train: bool, rng, last: bool = False, axis_name=None,
@@ -179,6 +282,14 @@ def multiview_layer_apply(
     width is below the input width, compute y_v = x @ W_v FIRST and
     aggregate the y_v — cuts aggregation FLOPs by f_in/f_out (3.5x at
     tox21 widths) with bitwise-identical math up to float reordering."""
+    outs_all = [int(params["blocks"][v]["w"].shape[1]) for v in range(5)]
+    if (len(set(outs_all)) == 1 and not (last and need_consensus)
+            and structure in ("Concate", "Weighted_sum")):
+        return _multiview_layer_fused(
+            params, state, ops, batch, x, structure, drop_rate, train,
+            rng if rng is None else jax.random.fold_in(rng, 0),
+            axis_name, pre_transform,
+        )
     rngs = jax.random.split(rng, 5) if rng is not None else [None] * 5
     blocks = params["blocks"]
     atts = [blocks[v]["att"] for v in range(5)]

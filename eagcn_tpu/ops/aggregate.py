@@ -291,6 +291,14 @@ class CooOps:
             msgs, self.edge_dst, num_segments=self.num_nodes
         )
 
+    def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """weights [E, V], x [N, F] -> [N, V, F]; one source gather shared
+        across views."""
+        msgs = weights[:, :, None] * x[self.edge_src][:, None, :]  # [E,V,F]
+        return jax.ops.segment_sum(
+            msgs, self.edge_dst, num_segments=self.num_nodes
+        )
+
 
 def make_ops(batch, backend: str = "ell", compute_dtype=None,
              n_rels=None) -> GraphOps:

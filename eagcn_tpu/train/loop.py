@@ -108,7 +108,12 @@ class Experiment:
 
         self.tx = make_optimizer(t.learning_rate, t.weight_decay)
         key = jax.random.key(t.seed)
-        self.init_key, self.drop_key = jax.random.split(key)
+        self.init_key, _ = jax.random.split(key)
+        # dropout keys use the rbg generator: threefry mask generation
+        # measured ~30 ms/step on TPU at mega-batch widths; rbg is
+        # hardware-cheap and dropout needs no counter-exact reproducibility
+        # beyond the seed (init stays threefry for param determinism)
+        self.drop_key = jax.random.key(t.seed + 1, impl="rbg")
         self.params, self.state = init_eagcn(self.init_key, cfg.model)
         self.opt_state = self.tx.init(self.params)
 

@@ -138,11 +138,16 @@ class TestTileVsEll:
         vec_t = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_t)])
         vec_e = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_e)])
         rel = np.linalg.norm(vec_t - vec_e) / np.linalg.norm(vec_e)
-        assert rel < 1e-4, f"global grad rel-L2 {rel}"
+        # 5e-3, not reassociation-level: the backends group the projection
+        # matmuls differently (stacked vs per-view), whose ~1e-7 forward
+        # noise flips a few ReLU masks across 4 BN layers — an O(1) change
+        # to isolated gradient entries.  Exact single-layer agreement
+        # (no relu-flip chaos) is pinned by test_single_layer_exact below.
+        assert rel < 5e-3, f"global grad rel-L2 {rel}"
         # per-leaf floor scales with the dominant gradient: leaves whose
         # true gradient is ~0 carry only summation-order cancellation
         # residue (observed as exact multiples of 2^-16 on both backends)
-        floor = 2e-3 * float(np.abs(vec_e).max())
+        floor = 5e-3 * float(np.abs(vec_e).max())
         for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_leaves_with_path(g_t),
             jax.tree_util.tree_leaves_with_path(g_e),
@@ -150,6 +155,49 @@ class TestTileVsEll:
             np.testing.assert_allclose(
                 a, b, rtol=5e-4, atol=floor,
                 err_msg=jax.tree_util.keystr(pa))
+
+    @pytest.mark.parametrize("structure", ["Concate", "Weighted_sum"])
+    def test_single_layer_exact(self, structure):
+        """ONE multiview layer: tile and ELL must agree to fp32
+        reassociation noise on forward AND gradients (no relu-flip chaos
+        at depth 1 — this is the strong numerical pin)."""
+        from eagcn_tpu.models.layers import (
+            init_multiview_layer, multiview_layer_apply,
+        )
+
+        _, batch = make_batch()
+        jb = batch_to_jax(batch)
+        ops_t = make_ops(jb, "tile", n_rels=(N_BOND, 4, 2, 2, 2))
+        ops_e = make_ops(jb, "ell")
+        p, s = init_multiview_layer(jax.random.key(1), N_BOND, 24, (7,) * 5,
+                                    structure)
+        x = jb.node_feat
+        probe = jnp.sin(jnp.arange(batch.node_feat.shape[0] * (
+            35 if structure == "Concate" else 7), dtype=jnp.float32))
+
+        def loss(pp, ops):
+            out, _, _ = multiview_layer_apply(
+                pp, s, ops, jb, x, structure, 0.0, True, None,
+                last=False, need_consensus=False, pre_transform=False)
+            return jnp.sum(out * probe.reshape(out.shape))
+
+        lt, gt = jax.value_and_grad(loss)(p, ops_t)
+        le, ge = jax.value_and_grad(loss)(p, ops_e)
+        np.testing.assert_allclose(float(lt), float(le), rtol=1e-5)
+        # the `b` leaves feed straight into BN, so their true gradient is
+        # zero: both backends return only fp32 cancellation residue there
+        # (assert it stays small); every real gradient must agree tightly
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gt),
+            jax.tree_util.tree_leaves_with_path(ge),
+        ):
+            key = jax.tree_util.keystr(pa)
+            if key.endswith("['b']"):
+                assert float(np.abs(a).max()) < 5e-3, key
+                assert float(np.abs(b).max()) < 5e-3, key
+            else:
+                np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-4,
+                                           err_msg=key)
 
     def test_gcn_structure(self):
         _, batch = make_batch()
