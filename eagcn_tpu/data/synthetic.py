@@ -88,10 +88,16 @@ def giant_graph(
     avg_degree: float = 4.0,
     n_bond_types: int = 20,
     max_degree: int = 8,
+    span: int | None = None,
 ) -> MolGraph:
     """One connected giant graph (ring backbone + random chords) for the
     10-100M-edge edge-partition stress runs.  Degree capped at
-    `max_degree` so ELL tables stay fixed width."""
+    `max_degree` so ELL tables stay fixed width.
+
+    `span` bounds chord length |a-b| (graph locality).  A locality-free
+    random graph is communication-dominated under ANY partitioner (halo
+    ~= nodes); real giant graphs (molecular assemblies, spatial/mesh
+    graphs) are local, so the scaling stress uses a window."""
     rng = np.random.default_rng(seed)
     backbone = np.stack(
         [np.arange(n_nodes, dtype=np.int32),
@@ -99,7 +105,13 @@ def giant_graph(
     )
     deg = np.full(n_nodes, 2, dtype=np.int32)
     n_extra = int(n_nodes * (avg_degree - 2.0) / 2.0)
-    chords_raw = rng.integers(0, n_nodes, (max(n_extra, 0), 2)).astype(np.int32)
+    a_raw = rng.integers(0, n_nodes, (max(n_extra, 0),)).astype(np.int32)
+    if span is None:
+        b_raw = rng.integers(0, n_nodes, a_raw.shape).astype(np.int32)
+    else:
+        off = rng.integers(-span, span + 1, a_raw.shape).astype(np.int32)
+        b_raw = np.clip(a_raw + off, 0, n_nodes - 1)
+    chords_raw = np.stack([a_raw, b_raw], axis=1)
     chords = []
     for a, b in chords_raw:
         if a != b and deg[a] < max_degree and deg[b] < max_degree:

@@ -199,7 +199,7 @@ def _multiview_layer_fused(
         if dt is not None:
             from ..ops.matmul import dot_bf16
 
-            y = dot_bf16(x, w_cat).astype(dt)
+            y = dot_bf16(x, w_cat, jnp.dtype(dt).name)  # half-width output buffer
         else:
             y = jnp.einsum("nf,fo->no", x, w_cat,
                            preferred_element_type=jnp.float32)
@@ -207,9 +207,18 @@ def _multiview_layer_fused(
         agg_list, rows = ops.fused_multiview_pv(atts, ys)   # 5x[N,f], [5,N]
         denom = (rows + sr[:, None] * conn[None] + batch.node_tiny[None]
                  + (1.0 - conn)[None])                      # [5, N]
-        h = jnp.concatenate(
-            [(agg_list[v] + (sr[v] * conn)[:, None] * ys[v].astype(jnp.float32))
-             / denom[v][:, None] for v in range(5)], axis=1) + b_cat
+        parts = [(agg_list[v]
+                  + (sr[v] * conn)[:, None] * ys[v].astype(jnp.float32))
+                 / denom[v][:, None] for v in range(5)]
+        if dt is not None:
+            # keep the [N, 5f] BN input at compute width: the f32 concat +
+            # BN reads of the widest layers measured ~2.5 GB/step of HBM;
+            # normalization itself accumulated fp32 above, and BN
+            # re-normalizes so the half-width rounding is benign
+            h = jnp.concatenate([p.astype(dt) for p in parts], axis=1) \
+                + b_cat.astype(dt)
+        else:
+            h = jnp.concatenate(parts, axis=1) + b_cat
     else:
         if hasattr(ops, "fused_multiview"):
             agg_all, rows = ops.fused_multiview(atts, x)    # [5,N,f_in],[5,N]
@@ -228,11 +237,13 @@ def _multiview_layer_fused(
         if dt is not None:
             from ..ops.matmul import bmm_bf16
 
-            h = bmm_bf16(hs, w_stack)                       # [5, N, f]
+            h = bmm_bf16(hs, w_stack, jnp.dtype(dt).name)              # [5, N, f]
+            h = (h.transpose(1, 0, 2).reshape(-1, 5 * f)
+                 + b_cat.astype(dt))
         else:
             h = jnp.einsum("vnf,vfo->vno", hs, w_stack,
                            preferred_element_type=jnp.float32)
-        h = h.transpose(1, 0, 2).reshape(-1, 5 * f) + b_cat
+            h = h.transpose(1, 0, 2).reshape(-1, 5 * f) + b_cat
 
     # one BN over the concatenation == five per-view BNs (per-feature stats)
     bn_p = {

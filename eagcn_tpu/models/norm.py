@@ -56,8 +56,12 @@ def batch_norm_apply(
     if train:
         m = mask[:, None]
         count = jnp.sum(mask)
-        s1 = jnp.sum(x * m, axis=0)
-        s2 = jnp.sum(x * x * m, axis=0)
+        # x32: bf16 activations convert IN-REGISTER inside the reduction
+        # fusions (no f32 materialization) — without this, x*x would round
+        # to bf16 BEFORE the sum and bias the variance
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.sum(x32 * m, axis=0)
+        s2 = jnp.sum(x32 * x32 * m, axis=0)
         if axis_name is not None:
             count = jax.lax.psum(count, axis_name)
             s1 = jax.lax.psum(s1, axis_name)

@@ -337,10 +337,15 @@ def make_ops(batch, backend: str = "ell", compute_dtype=None,
 def segment_readout(x: jnp.ndarray, node_mol: jnp.ndarray, num_mols: int,
                     node_mask: jnp.ndarray) -> jnp.ndarray:
     """Sum-over-atoms readout (`models.py:108` torch.sum(x2, 1)) for the
-    packed mega-graph: segment-sum over molecule ids; padding nodes carry
-    segment id == num_mols and fall into a dummy slot that is dropped.
-    Runs at x's dtype (the scatter moves half the bytes in bf16 mode) and
-    returns fp32."""
+    packed mega-graph.  Molecules are packed in ascending id order, but
+    padding slots between tile-aligned molecules carry id == num_mols,
+    breaking monotonicity; remapping them to the running max of real ids
+    (their contribution is zeroed by the mask anyway) makes the ids
+    sorted, so XLA lowers the scatter as a sorted segment reduction —
+    the unsorted scatter measured 10.5 ms/step at mega-batch widths.
+    Runs at x's dtype (half the bytes in bf16 mode), returns fp32."""
     x = x * node_mask[:, None].astype(x.dtype)
-    summed = jax.ops.segment_sum(x, node_mol, num_segments=num_mols + 1)
+    ids = jax.lax.cummax(jnp.where(node_mask > 0, node_mol, 0))
+    summed = jax.ops.segment_sum(x, ids, num_segments=num_mols + 1,
+                                 indices_are_sorted=True)
     return summed[:num_mols].astype(jnp.float32)

@@ -11,9 +11,17 @@ These wrappers pin the whole train step to bf16 MXU rate: inputs are cast
 to bf16, accumulation is fp32 (`preferred_element_type`), and the custom
 VJP casts the incoming cotangent to bf16 before the two transpose dots.
 Weight gradients are returned in the weight's own dtype (f32 for params,
-so the optimizer accumulates exactly)."""
+so the optimizer accumulates exactly).
+
+`out_dtype` (static) lets the hot path request a bf16 RESULT: the MXU
+still accumulates fp32 internally, but the [N, F] output buffer is
+written at half width — profiling showed the f32 write + separate
+downcast of the projection outputs costing ~2 GB/step of HBM traffic.
+"""
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,18 +29,19 @@ import jax.numpy as jnp
 BF16 = jnp.bfloat16
 
 
-@jax.custom_vjp
-def dot_bf16(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """[N, K] @ [K, M] -> [N, M] f32, bf16 MXU rate fwd AND bwd."""
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dot_bf16(x: jnp.ndarray, w: jnp.ndarray,
+             out_dtype: str = "float32") -> jnp.ndarray:
+    """[N, K] @ [K, M] -> [N, M] (fp32 accum), bf16 MXU rate fwd AND bwd."""
     return jnp.dot(x.astype(BF16), w.astype(BF16),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(out_dtype)
 
 
-def _dot_fwd(x, w):
-    return dot_bf16(x, w), (x, w)
+def _dot_fwd(x, w, out_dtype):
+    return dot_bf16(x, w, out_dtype), (x, w)
 
 
-def _dot_bwd(res, g):
+def _dot_bwd(out_dtype, res, g):
     x, w = res
     g16 = g.astype(BF16)
     dx = jnp.dot(g16, w.astype(BF16).T,
@@ -45,18 +54,19 @@ def _dot_bwd(res, g):
 dot_bf16.defvjp(_dot_fwd, _dot_bwd)
 
 
-@jax.custom_vjp
-def bmm_bf16(a: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Batched [T, S, S] @ [T, S, F] -> [T, S, F] f32 accum, bf16 rate."""
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bmm_bf16(a: jnp.ndarray, x: jnp.ndarray,
+             out_dtype: str = "float32") -> jnp.ndarray:
+    """Batched [T, S, S] @ [T, S, F] -> [T, S, F] fp32 accum, bf16 rate."""
     return jnp.einsum("tij,tjf->tif", a.astype(BF16), x.astype(BF16),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(out_dtype)
 
 
-def _bmm_fwd(a, x):
-    return bmm_bf16(a, x), (a, x)
+def _bmm_fwd(a, x, out_dtype):
+    return bmm_bf16(a, x, out_dtype), (a, x)
 
 
-def _bmm_bwd(res, g):
+def _bmm_bwd(out_dtype, res, g):
     a, x = res
     g16 = g.astype(BF16)
     da = jnp.einsum("tif,tjf->tij", g16, x.astype(BF16),

@@ -28,11 +28,13 @@ def run_scaling_bench(
     n_bond_types: int = 20,
     iters: int = 10,
     seed: int = 0,
+    span: int | None = None,
 ) -> Dict:
     devs = jax.devices()
     if shard_counts is None:
         shard_counts = [s for s in (1, 2, 4, 8, 16) if s <= len(devs)]
-    g = giant_graph(seed, n_nodes, avg_degree, n_bond_types)
+    g = giant_graph(seed, n_nodes, avg_degree, n_bond_types,
+                    span=span)
     n_edges = 2 * g.num_bonds
     att_w = jnp.asarray(
         np.random.default_rng(0).normal(0, 0.5, (n_bond_types,)), jnp.float32

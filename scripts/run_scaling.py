@@ -1,0 +1,189 @@
+"""Scaling + giant-graph stress artifacts (BASELINE.json north-star
+metrics; SURVEY §5 long-context analogue).
+
+Three measurements, written to SCALING_r3.json:
+
+1. `spmm_scaling` — edge-attention SpMM over an edge-partitioned giant
+   graph at 10M+ directed edges, shard counts 1/2/4/8 on the virtual
+   8-device CPU mesh (mechanics + halo fractions; multi-chip wall-clock
+   only meaningful on real ICI — caveat recorded in the artifact).
+2. `full_model_scaling` — the WHOLE 4-layer 5-view EAGCN train step
+   (fwd+bwd+Adam, halo exchange every layer) over an edge-partitioned
+   batch of giant graphs, same mesh.
+3. `single_chip_stress` — single-device train-step edges/s on giant
+   graphs of increasing size on whatever one device is available (run
+   with the TPU tunnel for the real number; platform recorded).
+
+Run:  [JAX_PLATFORMS=cpu] XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          python scripts/run_scaling.py cpu
+      python scripts/run_scaling.py tpu      # single-chip stress only
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+
+import jax
+
+if MODE == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+OUT = "/root/repo/SCALING_r3.json"
+
+
+def load():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {}
+
+
+def save(d):
+    with open(OUT, "w") as f:
+        json.dump(d, f, indent=2)
+    print("wrote", OUT, flush=True)
+
+
+def cpu_mode():
+    from eagcn_tpu.parallel.scaling import run_scaling_bench
+
+    res = load()
+    t0 = time.time()
+    print("spmm scaling at 10M directed edges...", flush=True)
+    res["spmm_scaling"] = run_scaling_bench(
+        n_nodes=2_500_000, avg_degree=4.0, shard_counts=[1, 2, 4, 8],
+        iters=5, span=4096,
+    )
+    res["spmm_scaling"]["caveat"] = (
+        "virtual 8-device CPU mesh (no TPU pod available in this "
+        "environment): validates partition mechanics, halo fractions and "
+        "collective schedule; wall-clock scaling is only meaningful over "
+        "real ICI"
+    )
+    print(f"  done in {time.time()-t0:.0f}s", flush=True)
+    save(res)
+
+    # full-model partitioned train-step scaling (moderate size: the CPU
+    # container has 2 cores; this checks mechanics not wall-clock)
+    from eagcn_tpu.data.synthetic import giant_graph
+    from eagcn_tpu.parallel.edge_partition import partition_giant_graph
+    from eagcn_tpu.parallel.mesh import make_mesh
+    from eagcn_tpu.parallel.sharded_model import make_partitioned_train_step
+    from eagcn_tpu.models import init_eagcn
+    from eagcn_tpu.train import make_optimizer
+    from eagcn_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(n_bfeat=12, sgc1=(16,) * 5, sgc2=(16,) * 5,
+                      n_den1=32, n_den2=16, n_tasks=2, dropout=0.0,
+                      structure="Concate", backend="ell")
+    ggs = [giant_graph(11 + i, 64_000, avg_degree=4.0, n_bond_types=12,
+                       max_degree=8, span=1024) for i in range(2)]
+    edges = sum(2 * g.num_bonds for g in ggs)
+    labels = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 2)), jnp.float32)
+    params, state = init_eagcn(jax.random.key(0), cfg)
+    tx = make_optimizer(1e-3, 0.0)
+    runs = []
+    base = None
+    for s in (1, 2, 4, 8):
+        mesh = make_mesh(data=1, graph=s, devices=jax.devices()[:s])
+        part = jax.tree_util.tree_map(
+            jnp.asarray, partition_giant_graph(ggs, s, max_degree=8))
+        step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=2)
+        opt = tx.init(params)
+        p, st, o, loss = step(params, state, opt, part, labels,
+                              jax.random.key(1))
+        jax.block_until_ready(loss)
+        # first-step loss: shard-count invariant (grad parity); later
+        # steps drift chaotically through Adam on BN-zero-grad noise
+        loss1 = float(loss)
+        t0 = time.perf_counter()
+        for i in range(3):
+            p, st, o, loss = step(p, st, o, part, labels, jax.random.key(i))
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / 3
+        eps = edges / dt
+        if base is None:
+            base = eps
+        runs.append({"shards": s, "ms_per_step": round(dt * 1e3, 1),
+                     "edges_per_s": round(eps, 1),
+                     "scaling_efficiency": round(eps / (base * s), 4),
+                     "first_step_loss": loss1})
+        print("  full-model", runs[-1], flush=True)
+    res = load()
+    res["full_model_scaling"] = {
+        "n_directed_edges": edges,
+        "model": "EAGCN Concate 4x5 views, 16-wide",
+        "runs": runs,
+        "caveat": res.get("spmm_scaling", {}).get("caveat", ""),
+    }
+    save(res)
+
+
+def tpu_mode():
+    """Single-chip giant-graph stress: train-step edges/s vs graph size."""
+    from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+    from eagcn_tpu.data.synthetic import giant_graph
+    from eagcn_tpu.models import init_eagcn
+    from eagcn_tpu.train import make_optimizer, make_train_step
+    from eagcn_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(n_bfeat=20, sgc1=(40,) * 5, sgc2=(60,) * 5,
+                      n_den1=128, n_den2=64, n_tasks=1, dropout=0.1,
+                      structure="Concate", backend="ell", bf16=True)
+    tx = make_optimizer(1e-3, 0.0)
+    runs = []
+    for n_nodes in (250_000, 1_000_000, 2_500_000):
+        g = giant_graph(5, n_nodes, avg_degree=4.0, n_bond_types=20,
+                        max_degree=8)
+        edges = 2 * g.num_bonds
+        shape = BatchShape(
+            num_nodes=-(-(n_nodes + 8) // 128) * 128,
+            num_edges=-(-(edges + 8) // 128) * 128,
+            num_mols=1, max_degree=8,
+        )
+        labels = np.zeros((1, 1), np.float32)
+        batch = batch_to_jax(GraphBatcher(shape).pack([g], labels, [0]))
+        params, state = init_eagcn(jax.random.key(0), cfg)
+        opt = tx.init(params)
+        step = make_train_step(cfg, "reg", tx)
+        rng = jax.random.key(0, impl="rbg")
+        p, s, o, loss = step(params, state, opt, batch, rng)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            p, s, o, loss = step(p, s, o, batch, rng)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / iters
+        runs.append({
+            "n_nodes": n_nodes, "n_directed_edges": edges,
+            "ms_per_train_step": round(dt * 1e3, 2),
+            "edges_per_s": round(edges / dt, 1),
+        })
+        print("  stress", runs[-1], flush=True)
+    res = load()
+    res["single_chip_stress"] = {
+        "device": str(jax.devices()[0]),
+        "model": "EAGCN Concate freesolv widths, bf16, ELL backend",
+        "runs": runs,
+    }
+    save(res)
+
+
+if MODE == "cpu":
+    cpu_mode()
+else:
+    tpu_mode()
