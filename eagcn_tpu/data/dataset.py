@@ -356,15 +356,21 @@ def load_cache(
     with open(json_path) as f:
         meta = json.load(f)
     node_off, bond_off = z["node_offsets"], z["bond_offsets"]
+    # materialize ONCE: NpzFile re-reads and decompresses the whole zip
+    # entry on every __getitem__ — indexing z["afm"] inside the loop was
+    # O(n_mols) full decompressions (~hours and ~100 GB of allocation
+    # churn on HIV's 39k molecules)
+    afm, bonds_a = z["afm"], z["bonds"]
+    rels, subtypes = z["rels"], z["subtypes"]
     graphs = []
     smiles = [str(s) for s in z["smiles"]]
     for i in range(len(node_off) - 1):
         graphs.append(
             MolGraph(
-                atom_features=z["afm"][node_off[i]:node_off[i + 1]],
-                bonds=z["bonds"][bond_off[i]:bond_off[i + 1]],
-                bond_relations=z["rels"][bond_off[i]:bond_off[i + 1]],
-                subtypes=z["subtypes"][node_off[i]:node_off[i + 1]],
+                atom_features=afm[node_off[i]:node_off[i + 1]],
+                bonds=bonds_a[bond_off[i]:bond_off[i + 1]],
+                bond_relations=rels[bond_off[i]:bond_off[i + 1]],
+                subtypes=subtypes[node_off[i]:node_off[i + 1]],
                 smiles=smiles[i],
             )
         )

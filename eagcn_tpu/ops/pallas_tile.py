@@ -69,37 +69,41 @@ def _pick_ftile(f: int, s: int) -> int:
     return best
 
 
-def _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels):
-    """Recompute the five masked score maps into VMEM scratch.  sigw is a
-    tiny SMEM table; the per-relation select unrolls into VPU
-    compare-multiply-adds (C <= n_bfeat passes over the [S, S] tile)."""
-    adj = adj_ref[0].astype(jnp.float32)
-    for v in range(V):
-        relv = rel_ref[0, v].astype(jnp.int32)
-        acc = jnp.zeros(adj.shape, jnp.float32)
-        for c in range(n_rels[v]):
-            acc = acc + (relv == c).astype(jnp.float32) * sigw_ref[v, c]
-        sig_ref[v] = acc * adj
+def _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels, tb):
+    """Recompute the five masked score maps for a TB-block of tiles into
+    VMEM scratch.  sigw is a tiny SMEM table; the per-relation select
+    unrolls into VPU compare-multiply-adds (C <= n_bfeat passes over each
+    [S, S] tile)."""
+    for b in range(tb):
+        adj = adj_ref[b].astype(jnp.float32)
+        for v in range(V):
+            relv = rel_ref[b, v].astype(jnp.int32)
+            acc = jnp.zeros(adj.shape, jnp.float32)
+            for c in range(n_rels[v]):
+                acc = acc + (relv == c).astype(jnp.float32) * sigw_ref[v, c]
+            sig_ref[b, v] = acc * adj
 
 
 def _fwd_kernel(sigw_ref, x_ref, adj_ref, rel_ref, agg_ref, sig_ref, *,
-                n_rels, shared):
+                n_rels, shared, tb, s):
     fi = pl.program_id(1)
 
     @pl.when(fi == 0)
     def _():
-        _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels)
+        _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels, tb)
 
-    for v in range(V):
-        x = x_ref[...] if shared else x_ref[v]
-        sig = sig_ref[v].astype(x.dtype)
-        agg_ref[v] = jnp.dot(
-            sig, x, preferred_element_type=jnp.float32
-        ).astype(agg_ref.dtype)
+    for b in range(tb):
+        rows = slice(b * s, (b + 1) * s)
+        for v in range(V):
+            x = x_ref[rows] if shared else x_ref[v, rows]
+            sig = sig_ref[b, v].astype(x.dtype)
+            out = jnp.dot(sig, x, preferred_element_type=jnp.float32)
+            agg_ref[v, rows] = out.astype(agg_ref.dtype)
 
 
 def _bwd_kernel(sigw_ref, adj_ref, rel_ref, x_ref, g_ref,
-                dsigw_ref, dx_ref, sig_ref, dsig_ref, *, n_rels, shared):
+                dsigw_ref, dx_ref, sig_ref, dsig_ref, *, n_rels, shared,
+                tb, s):
     t = pl.program_id(0)
     fi = pl.program_id(1)
     nfi = pl.num_programs(1)
@@ -112,43 +116,56 @@ def _bwd_kernel(sigw_ref, adj_ref, rel_ref, x_ref, g_ref,
 
     @pl.when(fi == 0)
     def _():
-        _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels)
-        for v in range(V):
-            dsig_ref[v] = jnp.zeros_like(dsig_ref[v])
+        _scores_into(sig_ref, sigw_ref, adj_ref, rel_ref, n_rels, tb)
+        dsig_ref[...] = jnp.zeros(dsig_ref.shape, dsig_ref.dtype)
 
-    dx_shared = None
-    for v in range(V):
-        x = x_ref[...] if shared else x_ref[v]
-        gv = g_ref[v]                                     # [S, TF]
-        sig = sig_ref[v].astype(gv.dtype)
-        # dx[j,f] += sum_i sig[v,i,j] * g[v,i,f]   (contract row axis)
-        dxv = jax.lax.dot_general(
-            sig, gv, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    for b in range(tb):
+        rows = slice(b * s, (b + 1) * s)
+        dx_shared = None
+        for v in range(V):
+            x = x_ref[rows] if shared else x_ref[v, rows]
+            gv = g_ref[v, rows]                           # [S, TF]
+            sig = sig_ref[b, v].astype(gv.dtype)
+            # dx[j,f] += sum_i sig[v,i,j] * g[v,i,f] (contract row axis)
+            dxv = jax.lax.dot_general(
+                sig, gv, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if shared:
+                dx_shared = dxv if dx_shared is None else dx_shared + dxv
+            else:
+                dx_ref[v, rows] = dxv.astype(dx_ref.dtype)
+            # dsig[v,i,j] += sum_f g[v,i,f] * x[j,f] (contract feature axis)
+            dsig_ref[b, v] += jax.lax.dot_general(
+                gv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if shared:
-            dx_shared = dxv if dx_shared is None else dx_shared + dxv
-        else:
-            dx_ref[v] = dxv.astype(dx_ref.dtype)
-        # dsig[v,i,j] += sum_f g[v,i,f] * x[j,f]   (contract feature axis)
-        dsig_ref[v] += jax.lax.dot_general(
-            gv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    if shared:
-        dx_ref[...] = dx_shared.astype(dx_ref.dtype)
+            dx_ref[rows] = dx_shared.astype(dx_ref.dtype)
 
     @pl.when(fi == nfi - 1)
     def _():
-        adj = adj_ref[0].astype(jnp.float32)
-        for v in range(V):
-            d = dsig_ref[v] * adj                        # mask non-edges
-            relv = rel_ref[0, v].astype(jnp.int32)
-            for c in range(n_rels[v]):
-                grad_c = jnp.sum(
-                    (relv == c).astype(jnp.float32) * d
-                )
-                dsigw_ref[v, c] += grad_c
+        for b in range(tb):
+            adj = adj_ref[b].astype(jnp.float32)
+            for v in range(V):
+                d = dsig_ref[b, v] * adj                 # mask non-edges
+                relv = rel_ref[b, v].astype(jnp.int32)
+                for c in range(n_rels[v]):
+                    grad_c = jnp.sum(
+                        (relv == c).astype(jnp.float32) * d
+                    )
+                    dsigw_ref[v, c] += grad_c
+
+
+def _pick_tb(t: int, cap: int) -> int:
+    """Tiles per grid step: largest power of two <= cap dividing t.  The
+    [S,S]@[S,TF] dots are individually too small to hide grid + DMA
+    overhead (kernels profiled ~3x over their HBM-bound floor at TB=1);
+    blocking TB tiles per step amortizes it while staying in VMEM."""
+    for tb in (cap, cap // 2, cap // 4, cap // 8):
+        if tb >= 1 and t % tb == 0:
+            return tb
+    return 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -156,35 +173,42 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
                 shared: bool, xdtype_name: str, interpret: bool):
     """Builds the custom-VJP fused op for one static geometry."""
     xdtype = jnp.dtype(xdtype_name)
-    grid = (t, f // tf)
+    # VMEM budget (double-buffered blocks + f32 score scratch) caps TB:
+    # bwd carries 2 scratches + g + dx so it gets half the forward's TB
+    tb_f = _pick_tb(t, 8 if s <= 128 else 2)
+    tb_b = _pick_tb(t, 4 if s <= 128 else 1)
     sigw_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    adj_spec = pl.BlockSpec((1, s, s), lambda ti, fi: (ti, 0, 0),
-                            memory_space=pltpu.VMEM)
-    rel_spec = pl.BlockSpec((1, V, s, s), lambda ti, fi: (ti, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    if shared:
-        x_spec = pl.BlockSpec((s, tf), lambda ti, fi: (ti, fi),
-                              memory_space=pltpu.VMEM)
-        x_scratch_shape = (s, tf)
-    else:
-        x_spec = pl.BlockSpec((V, s, tf), lambda ti, fi: (0, ti, fi),
-                              memory_space=pltpu.VMEM)
-        x_scratch_shape = (V, s, tf)
-    vagg_spec = pl.BlockSpec((V, s, tf), lambda ti, fi: (0, ti, fi),
+
+    def specs(tb):
+        adj = pl.BlockSpec((tb, s, s), lambda ti, fi: (ti, 0, 0),
+                           memory_space=pltpu.VMEM)
+        rel = pl.BlockSpec((tb, V, s, s), lambda ti, fi: (ti, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        if shared:
+            x = pl.BlockSpec((tb * s, tf), lambda ti, fi: (ti, fi),
                              memory_space=pltpu.VMEM)
+        else:
+            x = pl.BlockSpec((V, tb * s, tf), lambda ti, fi: (0, ti, fi),
+                             memory_space=pltpu.VMEM)
+        vagg = pl.BlockSpec((V, tb * s, tf), lambda ti, fi: (0, ti, fi),
+                            memory_space=pltpu.VMEM)
+        return adj, rel, x, vagg
+
     n = t * s
     flops_per_view = 2 * n * s * f
     x_bytes = (n * f * xdtype.itemsize) * (1 if shared else V)
 
+    adj_f, rel_f, x_f, vagg_f = specs(tb_f)
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_rels=n_rels, shared=shared),
-        grid=grid,
-        in_specs=[sigw_spec, x_spec, adj_spec, rel_spec],
-        out_specs=vagg_spec,
+        functools.partial(_fwd_kernel, n_rels=n_rels, shared=shared,
+                          tb=tb_f, s=s),
+        grid=(t // tb_f, f // tf),
+        in_specs=[sigw_spec, x_f, adj_f, rel_f],
+        out_specs=vagg_f,
         # agg at compute width (fp32-accumulated in VMEM): halves the HBM
         # write + every downstream read in bf16 mode
         out_shape=jax.ShapeDtypeStruct((V, n, f), xdtype),
-        scratch_shapes=[pltpu.VMEM((V, s, s), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tb_f, V, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=V * flops_per_view,
@@ -193,13 +217,15 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
         ),
     )
 
+    adj_b, rel_b, x_b, vagg_b = specs(tb_b)
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_rels=n_rels, shared=shared),
-        grid=grid,
-        in_specs=[sigw_spec, adj_spec, rel_spec, x_spec, vagg_spec],
+        functools.partial(_bwd_kernel, n_rels=n_rels, shared=shared,
+                          tb=tb_b, s=s),
+        grid=(t // tb_b, f // tf),
+        in_specs=[sigw_spec, adj_b, rel_b, x_b, vagg_b],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            x_spec,
+            x_b,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((V, c_max), jnp.float32),
@@ -207,8 +233,8 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
                 (n, f) if shared else (V, n, f), xdtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((V, s, s), jnp.float32),
-            pltpu.VMEM((V, s, s), jnp.float32),
+            pltpu.VMEM((tb_b, V, s, s), jnp.float32),
+            pltpu.VMEM((tb_b, V, s, s), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -95,20 +95,34 @@ def cpu_mode():
         np.random.default_rng(0).normal(size=(2, 2)), jnp.float32)
     params, state = init_eagcn(jax.random.key(0), cfg)
     tx = make_optimizer(1e-3, 0.0)
+    from eagcn_tpu.parallel.sharded_model import make_partitioned_eval
+
     runs = []
     base = None
+    ref_logits = None
     for s in (1, 2, 4, 8):
         mesh = make_mesh(data=1, graph=s, devices=jax.devices()[:s])
         part = jax.tree_util.tree_map(
             jnp.asarray, partition_giant_graph(ggs, s, max_degree=8))
+        # correctness evidence: EVAL logits must be shard-invariant.
+        # (train-mode loss is NOT comparable here: the head BN normalizes
+        # over only G=2 graphs, so 2-sample batch statistics amplify
+        # psum-reordering fp noise in the readout into O(1) logit shifts)
+        ev = make_partitioned_eval(cfg, mesh, n_graphs=2)
+        logits = np.asarray(ev(params, state, part))
+        if ref_logits is None:
+            ref_logits = logits
+        # relative: the only shard-count dependence is fp32 reassociation
+        # of the 64k-node readout sums (psum-of-partials vs serial sum),
+        # amplified ~10x through the head MLP; per-layer node activations
+        # were verified bitwise-close at every shard count
+        logit_dev = float(np.abs(logits - ref_logits).max()
+                          / (np.abs(ref_logits).max() + 1e-12))
         step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=2)
         opt = tx.init(params)
         p, st, o, loss = step(params, state, opt, part, labels,
                               jax.random.key(1))
         jax.block_until_ready(loss)
-        # first-step loss: shard-count invariant (grad parity); later
-        # steps drift chaotically through Adam on BN-zero-grad noise
-        loss1 = float(loss)
         t0 = time.perf_counter()
         for i in range(3):
             p, st, o, loss = step(p, st, o, part, labels, jax.random.key(i))
@@ -120,7 +134,7 @@ def cpu_mode():
         runs.append({"shards": s, "ms_per_step": round(dt * 1e3, 1),
                      "edges_per_s": round(eps, 1),
                      "scaling_efficiency": round(eps / (base * s), 4),
-                     "first_step_loss": loss1})
+                     "eval_logits_rel_dev_vs_1shard": logit_dev})
         print("  full-model", runs[-1], flush=True)
     res = load()
     res["full_model_scaling"] = {
