@@ -34,6 +34,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="bf16 activations through the graph layers")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each graph layer (memory for FLOPs)")
+    p.add_argument("--scan-steps", default=0, type=int,
+                   help="lax.scan K train steps per device dispatch "
+                        "(amortizes remote-dispatch overhead)")
     p.add_argument("--shards", default=1, type=int,
                    help="data-parallel shards over a ('data',) device mesh; "
                         "--batch-size is the GLOBAL batch")
@@ -66,6 +69,7 @@ def cmd_train(args) -> int:
     cfg.model.bf16 = args.bf16
     cfg.model.remat = args.remat
     cfg.train.num_data_shards = args.shards
+    cfg.train.scan_steps = args.scan_steps
     cfg.out_dir = args.out_dir
     if args.epochs is not None:
         cfg.train.num_epochs = args.epochs

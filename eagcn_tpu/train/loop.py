@@ -136,6 +136,13 @@ class Experiment:
             self.train_step = make_train_step(
                 cfg.model, t.task_type, self.tx, self.class_weights
             )
+            self.scan_step = None
+            if t.scan_steps > 1:
+                from .steps import make_scan_step
+
+                self.scan_step = make_scan_step(
+                    cfg.model, t.task_type, self.tx, self.class_weights
+                )
         # single-device eval path (representation dumps use it even with DP)
         self.eval_step = make_eval_step(cfg.model, t.task_type)
 
@@ -147,6 +154,33 @@ class Experiment:
         self.start_epoch = 0
         self.val_history: List[float] = []
         self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def _run_one(self, batch):
+        step_key = jax.random.fold_in(self.drop_key, self.global_step)
+        self.params, self.state, self.opt_state, loss = self.train_step(
+            self.params, self.state, self.opt_state,
+            batch_to_jax(batch), step_key,
+        )
+        self.global_step += 1
+        return loss
+
+    def _run_chunk(self, chunk):
+        """K packed batches -> one scanned device call (see
+        steps.make_scan_step).  Stacking happens on host numpy; one
+        device_put moves the chunk."""
+        import jax.numpy as jnp
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *chunk)
+        step_ids = jnp.arange(self.global_step,
+                              self.global_step + len(chunk), dtype=jnp.uint32)
+        self.params, self.state, self.opt_state, losses = self.scan_step(
+            self.params, self.state, self.opt_state, batch_to_jax(stacked),
+            step_ids, self.drop_key,
+        )
+        self.global_step += len(chunk)
+        return losses
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> bool:
@@ -284,15 +318,22 @@ class Experiment:
                     shuffle=True, rng=epoch_rng,
                 )
             batches = _prefetch(source)
-            for batch in batches:
-                step_key = jax.random.fold_in(self.drop_key, self.global_step)
-                self.params, self.state, self.opt_state, loss = self.train_step(
-                    self.params, self.state, self.opt_state,
-                    batch_to_jax(batch), step_key,
-                )
-                losses.append(loss)
-                self.global_step += 1
-            mean_loss = float(np.mean([float(l) for l in losses]))
+            K = t.scan_steps if getattr(self, "scan_step", None) else 0
+            if K > 1:
+                # chunk K same-shape steps into ONE device dispatch
+                chunk: List = []
+                for batch in batches:
+                    chunk.append(batch)
+                    if len(chunk) == K:
+                        losses.append(self._run_chunk(chunk))
+                        chunk = []
+                for batch in chunk:       # remainder: per-step path
+                    losses.append(self._run_one(batch))
+            else:
+                for batch in batches:
+                    losses.append(self._run_one(batch))
+            mean_loss = float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in losses])))
             step_time = time.time() - t0
 
             if (epoch + 1) % t.eval_every_epochs == 0 or epoch == t.num_epochs - 1:

@@ -56,6 +56,9 @@ class TrainConfig:
     seed: int = 0
     checkpoint_every: int = 0         # epochs; 0 = final only
     num_data_shards: int = 1          # data-parallel shards (mesh axis)
+    scan_steps: int = 0               # >1: lax.scan K train steps per
+                                      # dispatch (amortizes the remote-TPU
+                                      # per-call overhead; single-device)
 
 
 @dataclass

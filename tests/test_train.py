@@ -162,6 +162,35 @@ class TestEndToEnd:
             losses.append(np.mean(ep))
         assert losses[-1] < losses[0] * 0.8, losses
 
+    def test_scan_steps_matches_per_step(self):
+        """The chunked lax.scan driver (one dispatch per K steps) must
+        produce the same parameters and losses as the per-step path —
+        same data order, same fold_in(drop_key, global_step) dropout
+        schedule."""
+        from eagcn_tpu.train import Experiment
+        from eagcn_tpu.utils import benchmark_config
+        from eagcn_tpu.utils.logging import RunLogger
+
+        def run(scan_steps):
+            cfg = benchmark_config("freesolv")
+            cfg.train.num_epochs = 2
+            cfg.train.eval_every_epochs = 100
+            cfg.train.scan_steps = scan_steps
+            exp = Experiment(cfg, logger=RunLogger(None, "t", echo=False))
+            exp.run(resume=False)
+            return exp.params, exp.global_step
+
+        p_scan, gs_scan = run(5)   # 18 steps/epoch -> 3 chunks + remainder
+        p_one, gs_one = run(0)
+        assert gs_scan == gs_one
+        for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_scan),
+            jax.tree_util.tree_leaves_with_path(p_one),
+        ):
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=2e-5,
+                err_msg=jax.tree_util.keystr(ka))
+
     def test_checkpoint_resume_deterministic(self, tmp_path):
         from eagcn_tpu.train import Experiment
         from eagcn_tpu.utils import benchmark_config
