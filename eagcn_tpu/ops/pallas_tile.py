@@ -157,13 +157,25 @@ def _bwd_kernel(sigw_ref, adj_ref, rel_ref, x_ref, g_ref,
                     dsigw_ref[v, c] += grad_c
 
 
-def _pick_tb(t: int, cap: int) -> int:
-    """Tiles per grid step: largest power of two <= cap dividing t.  The
-    [S,S]@[S,TF] dots are individually too small to hide grid + DMA
-    overhead (kernels profiled ~3x over their HBM-bound floor at TB=1);
-    blocking TB tiles per step amortizes it while staying in VMEM."""
-    for tb in (cap, cap // 2, cap // 4, cap // 8):
-        if tb >= 1 and t % tb == 0:
+def _pick_tb(t: int, s: int, tf: int, shared: bool, xbytes: int,
+             n_scratch: int) -> int:
+    """Tiles per grid step: the [S,S]@[S,TF] dots are individually too
+    small to hide grid + DMA overhead (kernels profiled ~3x over their
+    HBM-bound floor at TB=1); blocking TB tiles per step amortizes it.
+    TB is capped by an explicit VMEM budget: double-buffered blocks
+    (x, agg[, g, dx]) + f32 score scratches must fit ~12 MB of the
+    v5e's ~16 MB VMEM."""
+    budget = 12 * 2 ** 20
+    for tb in (8, 4, 2, 1):
+        if t % tb:
+            continue
+        x_block = tb * s * tf * xbytes * (1 if shared else V)
+        agg_block = V * tb * s * tf * xbytes
+        grads = 0 if n_scratch == 1 else (x_block + agg_block)
+        blocks = 2 * (x_block + agg_block + grads
+                      + tb * s * s * (1 + V))           # + adj/rel i8
+        scratch = n_scratch * tb * V * s * s * 4
+        if blocks + scratch <= budget:
             return tb
     return 1
 
@@ -173,10 +185,8 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
                 shared: bool, xdtype_name: str, interpret: bool):
     """Builds the custom-VJP fused op for one static geometry."""
     xdtype = jnp.dtype(xdtype_name)
-    # VMEM budget (double-buffered blocks + f32 score scratch) caps TB:
-    # bwd carries 2 scratches + g + dx so it gets half the forward's TB
-    tb_f = _pick_tb(t, 8 if s <= 128 else 2)
-    tb_b = _pick_tb(t, 4 if s <= 128 else 1)
+    tb_f = _pick_tb(t, s, tf, shared, xdtype.itemsize, n_scratch=1)
+    tb_b = _pick_tb(t, s, tf, shared, xdtype.itemsize, n_scratch=2)
     sigw_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def specs(tb):
