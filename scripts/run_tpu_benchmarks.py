@@ -49,10 +49,12 @@ def main():
         cfg = benchmark_config(dataset, structure=structure)
         cfg.out_dir = "/root/repo/runs"
         cfg.train.eval_every_epochs = every
+        cfg.train.checkpoint_every = 20   # multi-hour runs must survive
         t0 = time.time()
         try:
-            exp = Experiment(cfg, run_name=name)
-            res = exp.run(resume=False)
+            exp = Experiment(cfg, run_name=name,
+                             checkpoint_dir=f"/root/repo/runs/ckpt_{name}")
+            res = exp.run(resume=True)
             res["wall_s"] = round(time.time() - t0, 1)
             summary[name] = res
             print(f"FINAL {name}", json.dumps(res, default=float), flush=True)
