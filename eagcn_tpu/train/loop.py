@@ -133,8 +133,13 @@ class Experiment:
             )
         else:
             self.mesh = None
+            # fused single-program step (fwd+bwd+Adam in ONE dispatch) with
+            # the dropout fold_in inside the program: measured 7 ms/step
+            # async over the remote tunnel vs 34 ms/step for the round-3
+            # split-step + host-fold_in path (scripts/probe_dispatch.py)
             self.train_step = make_train_step(
-                cfg.model, t.task_type, self.tx, self.class_weights
+                cfg.model, t.task_type, self.tx, self.class_weights,
+                split=False, fold_step=True,
             )
             self.scan_step = None
             if t.scan_steps > 1:
@@ -157,11 +162,22 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def _run_one(self, batch):
-        step_key = jax.random.fold_in(self.drop_key, self.global_step)
-        self.params, self.state, self.opt_state, loss = self.train_step(
-            self.params, self.state, self.opt_state,
-            batch_to_jax(batch), step_key,
-        )
+        if self.n_shards > 1:
+            # DP path folds on host (shard_map program, unchanged)
+            step_key = jax.random.fold_in(self.drop_key, self.global_step)
+            self.params, self.state, self.opt_state, loss = self.train_step(
+                self.params, self.state, self.opt_state,
+                batch_to_jax(batch), step_key,
+            )
+        else:
+            # fold_step path: fold_in runs INSIDE the compiled step; a host
+            # fold_in here breaks async dispatch pipelining over the remote
+            # tunnel (34 -> 10 ms/step, scripts/probe_dispatch.py)
+            self.params, self.state, self.opt_state, loss = self.train_step(
+                self.params, self.state, self.opt_state,
+                batch_to_jax(batch), self.drop_key,
+                np.uint32(self.global_step),
+            )
         self.global_step += 1
         return loss
 
@@ -263,11 +279,16 @@ class Experiment:
                 trues.append(
                     np.asarray(lab).reshape(keep.shape[0], -1)[keep])
         else:
+            keeps = []
             for batch in self._eval_batches(indices):
                 p, _, _ = self.eval_step(self.params, self.state, batch)
-                keep = np.asarray(batch.mol_mask) > 0
-                preds.append(np.asarray(p)[keep])
-                trues.append(np.asarray(batch.labels)[keep])
+                # keep results on device so eval dispatches pipeline over
+                # the tunnel; one blocking conversion after the loop
+                preds.append(p)
+                keeps.append(np.asarray(batch.mol_mask) > 0)
+                trues.append(np.asarray(batch.labels))
+            preds = [np.asarray(p)[k] for p, k in zip(preds, keeps)]
+            trues = [t[k] for t, k in zip(trues, keeps)]
         y_pred = np.concatenate(preds)
         y_true = np.concatenate(trues)
         if self.cfg.train.task_type == "class":

@@ -23,18 +23,25 @@ def trace_steps(exp, out_dir: str, n_steps: int = 5) -> None:
 
     it = iter_batches(exp.ds, exp.train_idx, exp.batch_shape)
     batch = batch_to_jax(next(it))
+    def run_step(i):
+        # Experiment's single-device step takes (..., rng, step_id)
+        # (fold_step=True, steps.make_train_step); the DP step takes a
+        # pre-folded key
+        if exp.n_shards > 1:
+            return exp.train_step(
+                exp.params, exp.state, exp.opt_state, batch,
+                jax.random.key(i))
+        return exp.train_step(
+            exp.params, exp.state, exp.opt_state, batch,
+            exp.drop_key, np.uint32(i))
+
     # compile outside the trace
-    p, s, o, _ = exp.train_step(
-        exp.params, exp.state, exp.opt_state, batch, jax.random.key(0)
-    )
+    p, s, o, _ = run_step(0)
     jax.block_until_ready(p)
     exp.params, exp.state, exp.opt_state = p, s, o
     with jax.profiler.trace(out_dir):
         for i in range(n_steps):
-            exp.params, exp.state, exp.opt_state, loss = exp.train_step(
-                exp.params, exp.state, exp.opt_state, batch,
-                jax.random.key(i),
-            )
+            exp.params, exp.state, exp.opt_state, loss = run_step(i + 1)
         jax.block_until_ready(loss)
 
 

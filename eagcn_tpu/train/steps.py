@@ -37,6 +37,7 @@ def make_train_step(
     class_weights=None,
     axis_name: Optional[str] = None,
     split: bool = True,
+    fold_step: bool = False,
 ) -> Callable:
     """Builds the train step.
 
@@ -45,7 +46,16 @@ def make_train_step(
     this environment's remote TPU compiler handles each in a couple of
     minutes but effectively hangs on the fused-and-donated single program.
     The extra dispatch is hidden by async dispatch pipelining.  shard_map
-    callers always receive the fused single-function form."""
+    callers always receive the fused single-function form.
+
+    `fold_step=True` changes the signature to
+        (params, state, opt_state, batch, rng, step_id) -> ...
+    with the per-step dropout key derived as fold_in(rng, step_id) INSIDE
+    the compiled program.  Calling `jax.random.fold_in` on the host each
+    step forces a host↔device round-trip that breaks async dispatch
+    pipelining over the remote-TPU tunnel (measured: 34 ms/step with host
+    fold_in vs 10 ms/step with the fold inside jit — scripts/
+    probe_dispatch.py)."""
     cw = None if class_weights is None else jnp.asarray(class_weights)
 
     def loss_fn(params, state, batch, rng):
@@ -74,10 +84,25 @@ def make_train_step(
         return step  # caller wraps in shard_map and jits
 
     if not split:
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        if not fold_step:
+            return jax.jit(step, donate_argnums=(0, 1, 2))
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
-                      donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def fused_folded(params, state, opt_state, batch, rng, step_id):
+            return step(params, state, opt_state, batch,
+                        jax.random.fold_in(rng, step_id))
+
+        return fused_folded
+
+    if fold_step:
+        @partial(jax.jit, donate_argnums=(1,))
+        def grad_fn(params, state, batch, rng, step_id):
+            rng = jax.random.fold_in(rng, step_id)
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, batch, rng)
+    else:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
+                          donate_argnums=(1,))
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def update_fn(params, opt_state, grads):
@@ -85,10 +110,17 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state
 
-    def split_step(params, state, opt_state, batch, rng):
-        (loss, new_state), grads = grad_fn(params, state, batch, rng)
-        params, opt_state = update_fn(params, opt_state, grads)
-        return params, new_state, opt_state, loss
+    if fold_step:
+        def split_step(params, state, opt_state, batch, rng, step_id):
+            (loss, new_state), grads = grad_fn(
+                params, state, batch, rng, step_id)
+            params, opt_state = update_fn(params, opt_state, grads)
+            return params, new_state, opt_state, loss
+    else:
+        def split_step(params, state, opt_state, batch, rng):
+            (loss, new_state), grads = grad_fn(params, state, batch, rng)
+            params, opt_state = update_fn(params, opt_state, grads)
+            return params, new_state, opt_state, loss
 
     return split_step
 

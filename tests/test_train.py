@@ -153,9 +153,9 @@ class TestEndToEnd:
             ep = []
             for b in iter_batches(exp.ds, exp.train_idx, exp.batch_shape,
                                   shuffle=True, rng=rng):
-                key = jax.random.fold_in(exp.drop_key, exp.global_step)
                 (exp.params, exp.state, exp.opt_state, loss) = exp.train_step(
-                    exp.params, exp.state, exp.opt_state, batch_to_jax(b), key
+                    exp.params, exp.state, exp.opt_state, batch_to_jax(b),
+                    exp.drop_key, np.uint32(exp.global_step),
                 )
                 ep.append(float(loss))
                 exp.global_step += 1
