@@ -75,9 +75,26 @@ MUV = register(DatasetSpec(
     task_type="class",
 ))
 
+# the 128 PubChem BioAssay ids, verbatim from `EAGCN_dataset.py:473-495`
+_PCBA_AIDS = [
+    1030, 1379, 1452, 1454, 1457, 1458, 1460, 1461, 1468, 1469, 1471, 1479,
+    1631, 1634, 1688, 1721, 2100, 2101, 2147, 2242, 2326, 2451, 2517, 2528,
+    2546, 2549, 2551, 2662, 2675, 2676, 411, 463254, 485281, 485290, 485294,
+    485297, 485313, 485314, 485341, 485349, 485353, 485360, 485364, 485367,
+    492947, 493208, 504327, 504332, 504333, 504339, 504444, 504466, 504467,
+    504706, 504842, 504845, 504847, 504891, 540276, 540317, 588342, 588453,
+    588456, 588579, 588590, 588591, 588795, 588855, 602179, 602233, 602310,
+    602313, 602332, 624170, 624171, 624173, 624202, 624246, 624287, 624288,
+    624291, 624296, 624297, 624417, 651635, 651644, 651768, 651965, 652025,
+    652104, 652105, 652106, 686970, 686978, 686979, 720504, 720532, 720542,
+    720551, 720553, 720579, 720580, 720707, 720708, 720709, 720711, 743255,
+    743266, 875, 881, 883, 884, 885, 887, 891, 899, 902, 903, 904, 912, 914,
+    915, 924, 925, 926, 927, 938, 995,
+]
+
 PCBA = register(DatasetSpec(
     name="pcba", filename="pcba.csv", smiles_col=129,
     label_cols=list(range(128)),
-    tasks=[f"PCBA-task-{i}" for i in range(128)],  # full ids in ref :466-496
+    tasks=[f"PCBA-{a}" for a in _PCBA_AIDS],
     task_type="class",
 ))
