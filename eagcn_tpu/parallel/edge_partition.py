@@ -7,12 +7,15 @@ owns its nodes and their incoming edges.  Edge sources living on other
 shards are satisfied from a HALO BUFFER of remote node features exchanged
 over ICI before aggregation.
 
-v1 exchange strategy: `all_gather` of the sharded feature array followed by
-a static gather of each shard's halo ids — one fused XLA collective, optimal
-when halos are a large fraction of nodes (random graphs) and still correct
-when they are small.  A ppermute-ring variant that overlaps exchange with
-per-source-shard partial aggregation is the planned optimization
-(SURVEY §7.2 PR5).
+Exchange strategy (v2, default): PACKED halo rows over `all_to_all` — each
+shard gathers exactly the rows its neighbors requested (host-built static
+send tables) and moves S*Hp*F floats per exchange, proportional to the halo
+size, instead of all-gathering the full [S*Ns, F] feature array.  Measured
+halo fractions on the 10M-edge stress graphs are 0.1-0.9% (SCALING_r3), so
+the packed exchange moves ~100x fewer bytes per layer.  The all-gather v1
+path is kept (`packed=False`) as a fallback/baseline for A/B measurement.
+A ppermute-ring variant that overlaps exchange with per-source-shard
+partial aggregation exists below for the single-view SpMM.
 
 All tables are built host-side once (static shapes); the device path is pure
 gather/reduce, jit/shard_map friendly.
@@ -36,14 +39,20 @@ class PartitionedGraph:
     """Giant graph partitioned over S shards (leading axis on every array).
 
     `neigh` indexes a per-shard LOCAL buffer laid out as
-    [own nodes (Ns) | halo slots (H)]; `halo_ids` are GLOBAL node ids to
-    fill the halo slots from (via all-gather + take)."""
+    [own nodes (Ns) | halo slots (S*Hp)].  The halo region is grouped by
+    OWNER shard into S fixed-width segments of Hp slots, so the result of
+    `all_to_all(x_local[send_ids])` IS the halo buffer — no reshuffle.
+    `halo_ids` holds the same slots as GLOBAL node ids for the all-gather
+    fallback path; `send_ids[d]` are the LOCAL row indices this shard must
+    ship to destination shard d (padding slots repeat row 0 — their
+    contents are never referenced by `neigh`)."""
     node_feat: np.ndarray    # [S, Ns, F]
-    neigh: np.ndarray        # [S, Ns, D] int32 into [0, Ns+H)
+    neigh: np.ndarray        # [S, Ns, D] int32 into [0, Ns+S*Hp)
     neigh_rel: np.ndarray    # [S, Ns, D, 5] int32
     neigh_mask: np.ndarray   # [S, Ns, D] f32
-    halo_ids: np.ndarray     # [S, H] int32 global ids
-    halo_mask: np.ndarray    # [S, H] f32
+    halo_ids: np.ndarray     # [S, S*Hp] int32 global ids (padding -> 0)
+    halo_mask: np.ndarray    # [S, S*Hp] f32
+    send_ids: np.ndarray     # [S, S, Hp] int32 local rows to send to dest d
     node_mask: np.ndarray    # [S, Ns] f32
     node_conn: np.ndarray    # [S, Ns] f32
     node_tiny: np.ndarray    # [S, Ns] f32
@@ -60,6 +69,20 @@ class PartitionedGraph:
     @property
     def halo_size(self) -> int:
         return self.halo_ids.shape[1]
+
+    def halo_bytes_per_exchange(self, dtype_bytes: int = 4) -> dict:
+        """Bytes each shard moves per halo exchange: packed all_to_all vs
+        the all-gather fallback (the VERDICT 'bytes moved ∝ halo size'
+        accounting)."""
+        s, ns, f = self.node_feat.shape
+        hp = self.send_ids.shape[2]
+        real = float(self.halo_mask.sum()) / s
+        return {
+            "packed_bytes": s * hp * f * dtype_bytes,
+            "allgather_bytes": s * ns * f * dtype_bytes,
+            "real_halo_rows_mean": real,
+            "pad_overhead": (s * hp) / max(real, 1.0),
+        }
 
 
 import jax.tree_util as _jtu
@@ -113,7 +136,8 @@ def partition_giant_graph(
                 deg[d] += 1
 
     owner = lambda v: v // ns
-    halo_lists = []
+    # per (receiver s, owner o): sorted list of global ids s needs from o
+    need = [[[] for _ in range(n_shards)] for _ in range(n_shards)]
     for s in range(n_shards):
         lo, hi = s * ns, (s + 1) * ns
         remote = set()
@@ -122,9 +146,13 @@ def partition_giant_graph(
                 src = int(neigh_g[i, d])
                 if owner(src) != s:
                     remote.add(src)
-        halo_lists.append(sorted(remote))
-    h = max((len(x) for x in halo_lists), default=0)
-    h = max(h, 1)
+        for v in sorted(remote):
+            need[s][owner(v)].append(v)
+    # fixed per-owner segment width: max rows any (receiver, owner) pair
+    # exchanges — the all_to_all block size
+    hp = max((len(need[s][o]) for s in range(n_shards)
+              for o in range(n_shards)), default=0)
+    hp = max(hp, 1)
 
     S = n_shards
     all_feat = np.concatenate([gr.atom_features for gr in graphs])
@@ -132,8 +160,9 @@ def partition_giant_graph(
     neigh = np.zeros((S, ns, max_degree), np.int32)
     rels = np.zeros((S, ns, max_degree, 5), np.int32)
     nmask = np.zeros((S, ns, max_degree), np.float32)
-    halo_ids = np.zeros((S, h), np.int32)
-    halo_mask = np.zeros((S, h), np.float32)
+    halo_ids = np.zeros((S, S * hp), np.int32)
+    halo_mask = np.zeros((S, S * hp), np.float32)
+    send_ids = np.zeros((S, S, hp), np.int32)
     node_mask = np.zeros((S, ns), np.float32)
     node_tiny = np.zeros((S, ns), np.float32)
     node_mol = np.full((S, ns), len(graphs), np.int32)
@@ -144,9 +173,17 @@ def partition_giant_graph(
         feat[s, :cnt] = all_feat[lo:lo + cnt]
         node_mask[s, :cnt] = 1.0
         node_mol[s, :cnt] = mol_of[lo:lo + cnt]
-        remote_index = {v: ns + j for j, v in enumerate(halo_lists[s])}
-        halo_ids[s, : len(halo_lists[s])] = halo_lists[s]
-        halo_mask[s, : len(halo_lists[s])] = 1.0
+        # halo layout: S owner segments of hp slots each; slot k of segment
+        # o holds need[s][o][k] — exactly what owner o packs for us at
+        # send_ids[o, s, k], so the all_to_all result needs no permutation
+        remote_index = {}
+        for o in range(S):
+            for k, v in enumerate(need[s][o]):
+                slot = o * hp + k
+                remote_index[v] = ns + slot
+                halo_ids[s, slot] = v
+                halo_mask[s, slot] = 1.0
+                send_ids[o, s, k] = v - o * ns
         for i in range(cnt):
             gidx = lo + i
             # tiny mass: own molecule's (n_mol - deg) * 1e-9, identical to
@@ -163,7 +200,8 @@ def partition_giant_graph(
     node_conn = (nmask.sum(-1) > 0).astype(np.float32)
     return PartitionedGraph(
         node_feat=feat, neigh=neigh, neigh_rel=rels, neigh_mask=nmask,
-        halo_ids=halo_ids, halo_mask=halo_mask, node_mask=node_mask,
+        halo_ids=halo_ids, halo_mask=halo_mask, send_ids=send_ids,
+        node_mask=node_mask,
         node_conn=node_conn, node_tiny=node_tiny, node_mol=node_mol,
     )
 
@@ -174,11 +212,30 @@ def partition_giant_graph(
 
 def halo_exchange(x_local: jnp.ndarray, halo_ids: jnp.ndarray,
                   axis_name: str = "graph") -> jnp.ndarray:
-    """Fills the halo buffer: all-gather the sharded node features over ICI
-    and take this shard's needed rows.  x_local [Ns, F] -> halo [H, F]."""
+    """All-gather fallback: gathers the WHOLE sharded feature array over ICI
+    and takes this shard's needed rows.  x_local [Ns, F] -> halo [S*Hp, F].
+    Moves S*Ns*F floats regardless of halo size — use
+    `halo_exchange_packed` (default in EllHaloOps) unless measuring."""
     xg = jax.lax.all_gather(x_local, axis_name)      # [S, Ns, F]
     flat = xg.reshape(-1, x_local.shape[-1])          # [S*Ns, F]
     return flat[halo_ids]
+
+
+def halo_exchange_packed(x_local: jnp.ndarray, send_ids: jnp.ndarray,
+                         axis_name: str = "graph") -> jnp.ndarray:
+    """Packed halo exchange: each shard ships only the rows its peers
+    actually reference.  x_local [Ns, F], send_ids [S, Hp] (rows destined
+    to each receiver) -> halo [S*Hp, F] grouped by owner segment — the
+    layout `PartitionedGraph.neigh` indexes directly.
+
+    Bytes per shard: S*Hp*F (∝ halo size) vs S*Ns*F for the all-gather
+    fallback; at the 0.1-0.9% halo fractions of the locality-window stress
+    graphs this is a ~100x traffic reduction per layer."""
+    packed = x_local[send_ids]                        # [S, Hp, F]
+    recv = jax.lax.all_to_all(
+        packed, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )                                                 # [S, Hp, F] by owner
+    return recv.reshape(-1, x_local.shape[-1])        # [S*Hp, F]
 
 
 def halo_edge_attention_aggregate(
@@ -188,11 +245,15 @@ def halo_edge_attention_aggregate(
     self_r: jnp.ndarray,             # scalar
     rel_col: int = 0,
     axis_name: str = "graph",
+    packed: bool = True,
 ) -> jnp.ndarray:
     """One edge-attention SpMM over the partitioned graph: identical math to
     the single-device view block (`models/layers.py`), sources resolved
     through the halo buffer."""
-    halo = halo_exchange(x_local, part_local.halo_ids, axis_name)
+    if packed:
+        halo = halo_exchange_packed(x_local, part_local.send_ids, axis_name)
+    else:
+        halo = halo_exchange(x_local, part_local.halo_ids, axis_name)
     buffer = jnp.concatenate([x_local, halo], axis=0)      # [Ns+H, F]
     rel = part_local.neigh_rel[:, :, rel_col]
     sig = jax.nn.sigmoid(att_w[rel]) * part_local.neigh_mask
@@ -332,7 +393,8 @@ def make_ring_spmm(mesh, n_shards: int):
     ))
 
 
-def make_partitioned_spmm(mesh, att_dim: int, rel_col: int = 0):
+def make_partitioned_spmm(mesh, att_dim: int, rel_col: int = 0,
+                          packed: bool = True):
     """Builds the jitted shard_map'd multi-shard SpMM:
     (part [S,...], x [S,Ns,F], att_w [C], self_r) -> out [S,Ns,F]."""
     from jax.sharding import PartitionSpec as P
@@ -340,7 +402,7 @@ def make_partitioned_spmm(mesh, att_dim: int, rel_col: int = 0):
     def per_shard(part, x, att_w, self_r):
         local_part = jax.tree_util.tree_map(lambda a: a[0], part)
         out = halo_edge_attention_aggregate(
-            local_part, x[0], att_w, self_r, rel_col
+            local_part, x[0], att_w, self_r, rel_col, packed=packed
         )
         return out[None]
 

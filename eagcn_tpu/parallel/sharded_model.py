@@ -34,7 +34,9 @@ from ..models.layers import dense_apply, dropout, multiview_layer_apply
 from ..models.norm import batch_norm_apply
 from ..ops.aggregate import edge_scores
 from ..utils.config import ModelConfig
-from .edge_partition import PartitionedGraph, halo_exchange
+from .edge_partition import (
+    PartitionedGraph, halo_exchange, halo_exchange_packed,
+)
 
 
 @dataclasses.dataclass
@@ -50,18 +52,28 @@ class EllHaloOps:
     """ELLPACK aggregation whose source gather resolves through a
     [own nodes | halo] buffer; the halo is exchanged over `axis_name` ONCE
     per multi-view call (all five views share it, like the single-device
-    fused path shares one feature read)."""
+    fused path shares one feature read).
 
-    def __init__(self, part_local, axis_name: str = "graph"):
-        self.neigh = part_local.neigh            # [Ns, D] into [0, Ns+H)
+    `packed=True` (default) ships only the referenced rows via all_to_all
+    (bytes ∝ halo size); `packed=False` all-gathers the full feature array
+    (the round-3 v1 behavior, kept for A/B measurement)."""
+
+    def __init__(self, part_local, axis_name: str = "graph",
+                 packed: bool = True):
+        self.neigh = part_local.neigh            # [Ns, D] into [0, Ns+S*Hp)
         self.neigh_rel = part_local.neigh_rel    # [Ns, D, 5]
         self.neigh_mask = part_local.neigh_mask  # [Ns, D]
-        self.halo_ids = part_local.halo_ids      # [H] global ids
+        self.halo_ids = part_local.halo_ids      # [S*Hp] global ids
+        self.send_ids = part_local.send_ids      # [S, Hp] local rows
         self.axis_name = axis_name
+        self.packed = packed
         self.compute_dtype = None
 
     def _buffer(self, x: jnp.ndarray) -> jnp.ndarray:
-        halo = halo_exchange(x, self.halo_ids, self.axis_name)
+        if self.packed:
+            halo = halo_exchange_packed(x, self.send_ids, self.axis_name)
+        else:
+            halo = halo_exchange(x, self.halo_ids, self.axis_name)
         return jnp.concatenate([x, halo], axis=0)
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
@@ -93,12 +105,13 @@ def apply_eagcn_partitioned(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     axis_name: str = "graph",
+    packed: bool = True,
 ) -> Tuple[jnp.ndarray, dict]:
     """Per-shard body (call inside shard_map): the full EAGCN forward on a
     batch of `n_graphs` edge-partitioned giant graphs -> (logits [G, T],
     new_state).  The readout is a local segment-sum over `node_mol` psum'd
     over shards (`models.py:108` semantics across shard boundaries)."""
-    ops = EllHaloOps(part_local, axis_name)
+    ops = EllHaloOps(part_local, axis_name, packed=packed)
     shim = _ShardBatchShim(
         node_conn=part_local.node_conn,
         node_tiny=part_local.node_tiny,
@@ -151,7 +164,8 @@ def apply_eagcn_partitioned(
 
 def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
                                 n_graphs: int = 1,
-                                axis_name: str = "graph"):
+                                axis_name: str = "graph",
+                                packed: bool = True):
     """Jitted full-model train step over a batch of edge-partitioned giant
     graphs: (params, state, opt_state, part [S,...], labels [G,T], rng) ->
     (params, state, opt_state, loss).  Regression MSE on the graph-level
@@ -167,7 +181,7 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
         def loss_fn(p):
             logits, new_state = apply_eagcn_partitioned(
                 p, state, local, cfg, n_graphs=n_graphs, train=True,
-                rng=rng, axis_name=axis_name,
+                rng=rng, axis_name=axis_name, packed=packed,
             )
             loss = jnp.mean((logits - labels) ** 2)
             # differentiate loss/n: under check_vma=False the transpose of
@@ -203,7 +217,8 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
 
 
 def make_partitioned_eval(cfg: ModelConfig, mesh, n_graphs: int = 1,
-                          axis_name: str = "graph"):
+                          axis_name: str = "graph",
+                          packed: bool = True):
     """Jitted forward over the partitioned graph batch -> logits [G, T]."""
     from jax.sharding import PartitionSpec as P
 
@@ -211,7 +226,7 @@ def make_partitioned_eval(cfg: ModelConfig, mesh, n_graphs: int = 1,
         local = jax.tree_util.tree_map(lambda a: a[0], part)
         logits, _ = apply_eagcn_partitioned(
             params, state, local, cfg, n_graphs=n_graphs, train=False,
-            axis_name=axis_name,
+            axis_name=axis_name, packed=packed,
         )
         return logits
 
