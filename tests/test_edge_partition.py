@@ -62,6 +62,36 @@ def test_partitioned_spmm_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_packed_halo_matches_allgather_and_moves_fewer_bytes():
+    """The packed all_to_all exchange must be numerically identical to the
+    all-gather fallback, and its per-exchange traffic must scale with the
+    halo size, not the node count (round-3 verdict, weak #3)."""
+    g = giant_graph(7, 4096, avg_degree=4.0, n_bond_types=12,
+                    span=256)
+    n_shards = 8
+    part = partition_giant_graph(g, n_shards)
+
+    rng = np.random.default_rng(1)
+    att_w = rng.normal(0, 0.5, (12,)).astype(np.float32)
+    self_r = np.float32(0.05)
+
+    mesh = make_mesh(data=1, graph=n_shards, devices=jax.devices())
+    x = jnp.asarray(part.node_feat)
+    out_packed = make_partitioned_spmm(mesh, att_dim=12, packed=True)(
+        part, x, jnp.asarray(att_w), jnp.asarray(self_r))
+    out_gather = make_partitioned_spmm(mesh, att_dim=12, packed=False)(
+        part, x, jnp.asarray(att_w), jnp.asarray(self_r))
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_gather), rtol=1e-6, atol=1e-7)
+
+    stats = part.halo_bytes_per_exchange()
+    # locality window 256 on 512-node shards -> small halo; the packed
+    # exchange must move far less than the all-gather
+    assert stats["packed_bytes"] < stats["allgather_bytes"] / 4, stats
+    # padding overhead of the fixed-width segments stays bounded
+    assert stats["pad_overhead"] < 16, stats
+
+
 def test_partition_tables_consistent():
     g = giant_graph(3, 999, avg_degree=3.5, n_bond_types=5)
     part = partition_giant_graph(g, 3)
