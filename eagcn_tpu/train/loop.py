@@ -245,11 +245,15 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def _eval_batches(self, indices: np.ndarray):
-        """Eval splits are static — pack them once and reuse every epoch.
-        Large splits (e.g. the HIV train split) are streamed instead of
-        cached to bound device memory."""
+        """Eval splits are static — pack them once and reuse every epoch,
+        with labels/masks kept as HOST arrays (fetching them from device
+        every sweep costs a tunnel round trip per batch).  Yields
+        (device_batch, host_mol_mask, host_labels).  Large splits (e.g.
+        the HIV train split) are streamed instead of cached to bound
+        device memory."""
         if len(indices) > 8192:
-            return (batch_to_jax(b) for b in
+            return ((batch_to_jax(b), np.asarray(b.mol_mask),
+                     np.asarray(b.labels)) for b in
                     iter_batches(self.ds, indices, self.batch_shape))
         key = (int(indices[0]), int(indices[-1]), len(indices))
         cache = getattr(self, "_eval_cache", None)
@@ -257,7 +261,8 @@ class Experiment:
             cache = self._eval_cache = {}
         if key not in cache:
             cache[key] = [
-                batch_to_jax(b)
+                (batch_to_jax(b), np.asarray(b.mol_mask),
+                 np.asarray(b.labels))
                 for b in iter_batches(self.ds, indices, self.batch_shape)
             ]
         return cache[key]
@@ -280,14 +285,15 @@ class Experiment:
                     np.asarray(lab).reshape(keep.shape[0], -1)[keep])
         else:
             keeps = []
-            for batch in self._eval_batches(indices):
+            for batch, mol_mask, labels in self._eval_batches(indices):
                 p, _, _ = self.eval_step(self.params, self.state, batch)
                 # keep results on device so eval dispatches pipeline over
-                # the tunnel; one blocking conversion after the loop
+                # the tunnel; one async-batched conversion after the loop
                 preds.append(p)
-                keeps.append(np.asarray(batch.mol_mask) > 0)
-                trues.append(np.asarray(batch.labels))
-            preds = [np.asarray(p)[k] for p, k in zip(preds, keeps)]
+                keeps.append(mol_mask > 0)
+                trues.append(labels)
+            preds = [np.asarray(p)[k]
+                     for p, k in zip(jax.device_get(preds), keeps)]
             trues = [t[k] for t, k in zip(trues, keeps)]
         y_pred = np.concatenate(preds)
         y_true = np.concatenate(trues)
@@ -353,6 +359,11 @@ class Experiment:
             else:
                 for batch in batches:
                     losses.append(self._run_one(batch))
+            # ONE async-batched d2h fetch: converting each device scalar
+            # with np.asarray costs a full tunnel round trip PER STEP
+            # (~30 ms x ~1000 steps = most of an HIV epoch); device_get
+            # issues copy_to_host_async on every leaf before blocking
+            losses = jax.device_get(losses)
             mean_loss = float(np.mean(np.concatenate(
                 [np.atleast_1d(np.asarray(l)) for l in losses])))
             step_time = time.time() - t0
