@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.batching import GraphBatch
-from ..ops.aggregate import make_ops, segment_readout
+from ..ops.aggregate import EllOps, make_ops, segment_readout
 from ..utils.config import ModelConfig
 from .layers import (
     dense_apply,
@@ -160,9 +160,19 @@ def apply_eagcn(
             )
             new_state["layers"].append(s)
     else:  # GAT
+        # GAT's softmax normalizes over each node's in-neighborhood, which
+        # is only expressible on the neighbor-list layout; the batcher
+        # always builds ELL tables, so under tile/pallas configs GAT
+        # transparently runs on an ELL adapter instead of raising
+        gat_ops = ops
+        if not isinstance(ops, EllOps):
+            gat_ops = make_ops(
+                batch, "ell",
+                compute_dtype=jnp.bfloat16 if cfg.bf16 else None,
+            )
         for li in range(4):
             x, s = gat_layer_apply(
-                params["layers"][li], state["layers"][li], ops, batch, x,
+                params["layers"][li], state["layers"][li], gat_ops, batch, x,
                 cfg.dropout, train, rngs[li] if rng is not None else None,
                 axis_name=axis_name,
             )

@@ -46,3 +46,32 @@ def test_r_squared_matches_scipy():
     y = 2 * x + rng.normal(size=50)
     slope, intercept, r, p, se = scipy.stats.linregress(x, y)
     assert abs(r_squared(x, y) - r**2) < 1e-12
+
+
+def test_gat_runs_on_tile_backend_via_ell_fallback():
+    """GAT under a tile/pallas config transparently uses the ELL tables
+    (softmax is neighborhood-local); logits must match the ell config."""
+    from eagcn_tpu.data.batching import pick_tile_size
+    from eagcn_tpu.models import apply_eagcn
+
+    ds = load_dataset(get_spec("freesolv"))
+    cfg = benchmark_config("freesolv", structure="GAT")
+    cfg.model.n_bfeat = ds.n_bfeat
+    cfg.model.sgc1 = (8,) * 5
+    cfg.model.sgc2 = (8,) * 5
+    cfg.model.n_den1, cfg.model.n_den2 = 16, 8
+    tile = pick_tile_size(int(ds.sizes()[:16].max()))
+    shape = BatchShape(num_nodes=1024, num_edges=512, num_mols=16,
+                       tile_size=tile)
+    batch = batch_to_jax(next(iter_batches(ds, np.arange(16), shape)))
+    params, state = init_eagcn(jax.random.key(0), cfg.model)
+
+    import dataclasses
+    logits = {}
+    for backend in ("ell", "tile"):
+        mcfg = dataclasses.replace(cfg.model, backend=backend)
+        logits[backend], _, _, _ = apply_eagcn(
+            params, state, batch, mcfg, train=False)
+    np.testing.assert_allclose(np.asarray(logits["ell"]),
+                               np.asarray(logits["tile"]),
+                               rtol=1e-5, atol=1e-6)
