@@ -1,22 +1,26 @@
 """Scaling + giant-graph stress artifacts (BASELINE.json north-star
 metrics; SURVEY §5 long-context analogue).
 
-Three measurements, written to SCALING_r3.json:
+Measurements, written to SCALING_r4.json:
 
 1. `spmm_scaling` — edge-attention SpMM over an edge-partitioned giant
    graph at 10M+ directed edges, shard counts 1/2/4/8 on the virtual
    8-device CPU mesh (mechanics + halo fractions; multi-chip wall-clock
    only meaningful on real ICI — caveat recorded in the artifact).
 2. `full_model_scaling` — the WHOLE 4-layer 5-view EAGCN train step
-   (fwd+bwd+Adam, halo exchange every layer) over an edge-partitioned
-   batch of giant graphs, same mesh.
+   (fwd+bwd+Adam, packed all_to_all halo exchange every layer) over an
+   edge-partitioned batch of giant graphs, same mesh; includes a
+   packed-vs-allgather A/B and the bytes-per-exchange accounting.
 3. `single_chip_stress` — single-device train-step edges/s on giant
    graphs of increasing size on whatever one device is available (run
    with the TPU tunnel for the real number; platform recorded).
+4. `memory_envelope` (tpu mode) — push toward the 100M-directed-edge
+   BASELINE config 5 on ONE chip: ELL + bf16 + remat, largest graph that
+   fits 16 GB HBM recorded with its edges/s.
 
 Run:  [JAX_PLATFORMS=cpu] XLA_FLAGS=--xla_force_host_platform_device_count=8 \
           python scripts/run_scaling.py cpu
-      python scripts/run_scaling.py tpu      # single-chip stress only
+      python scripts/run_scaling.py tpu      # single-chip stress + envelope
 """
 import json
 import os
@@ -40,7 +44,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
-OUT = "/root/repo/SCALING_r3.json"
+OUT = "/root/repo/SCALING_r4.json"
 
 
 def load():
@@ -102,8 +106,9 @@ def cpu_mode():
     ref_logits = None
     for s in (1, 2, 4, 8):
         mesh = make_mesh(data=1, graph=s, devices=jax.devices()[:s])
-        part = jax.tree_util.tree_map(
-            jnp.asarray, partition_giant_graph(ggs, s, max_degree=8))
+        part_host = partition_giant_graph(ggs, s, max_degree=8)
+        halo_stats = part_host.halo_bytes_per_exchange()
+        part = jax.tree_util.tree_map(jnp.asarray, part_host)
         # correctness evidence: EVAL logits must be shard-invariant.
         # (train-mode loss is NOT comparable here: the head BN normalizes
         # over only G=2 graphs, so 2-sample batch statistics amplify
@@ -118,28 +123,43 @@ def cpu_mode():
         # were verified bitwise-close at every shard count
         logit_dev = float(np.abs(logits - ref_logits).max()
                           / (np.abs(ref_logits).max() + 1e-12))
-        step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=2)
-        opt = tx.init(params)
-        p, st, o, loss = step(params, state, opt, part, labels,
-                              jax.random.key(1))
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for i in range(3):
-            p, st, o, loss = step(p, st, o, part, labels, jax.random.key(i))
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / 3
+
+        def time_step(step):
+            opt = tx.init(params)
+            p, st, o, loss = step(params, state, opt, part, labels,
+                                  jax.random.key(1))
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            for i in range(3):
+                p, st, o, loss = step(p, st, o, part, labels,
+                                      jax.random.key(i))
+            jax.block_until_ready(loss)
+            return (time.perf_counter() - t0) / 3
+
+        dt = time_step(make_partitioned_train_step(cfg, tx, mesh,
+                                                   n_graphs=2, packed=True))
+        dt_ag = time_step(make_partitioned_train_step(
+            cfg, tx, mesh, n_graphs=2, packed=False)) if s > 1 else dt
         eps = edges / dt
         if base is None:
             base = eps
-        runs.append({"shards": s, "ms_per_step": round(dt * 1e3, 1),
-                     "edges_per_s": round(eps, 1),
-                     "scaling_efficiency": round(eps / (base * s), 4),
-                     "eval_logits_rel_dev_vs_1shard": logit_dev})
+        runs.append({
+            "shards": s, "ms_per_step": round(dt * 1e3, 1),
+            "ms_per_step_allgather_halo": round(dt_ag * 1e3, 1),
+            "edges_per_s": round(eps, 1),
+            "scaling_efficiency": round(eps / (base * s), 4),
+            "eval_logits_rel_dev_vs_1shard": logit_dev,
+            "halo_packed_bytes_per_exchange": halo_stats["packed_bytes"],
+            "halo_allgather_bytes_per_exchange":
+                halo_stats["allgather_bytes"],
+            "halo_rows_mean": round(halo_stats["real_halo_rows_mean"], 1),
+        })
         print("  full-model", runs[-1], flush=True)
     res = load()
     res["full_model_scaling"] = {
         "n_directed_edges": edges,
         "model": "EAGCN Concate 4x5 views, 16-wide",
+        "halo_exchange": "packed all_to_all (bytes ∝ halo); allgather A/B",
         "runs": runs,
         "caveat": res.get("spmm_scaling", {}).get("caveat", ""),
     }
@@ -197,7 +217,118 @@ def tpu_mode():
     save(res)
 
 
+def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
+    """BASELINE config 5 upper end: push one chip toward 100M directed
+    edges (25M nodes x avg degree 4) with every memory lever on — ELL
+    backend (no COO duplicates on device), bf16 activations, remat'd
+    layers, int8 relation/reverse tables, bf16 features.  Records the
+    largest train step AND largest fwd-only step that fit 16 GB HBM,
+    with edges/s and live-buffer stats at each rung."""
+    from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+    from eagcn_tpu.data.synthetic import giant_graph
+    from eagcn_tpu.models import apply_eagcn, init_eagcn
+    from eagcn_tpu.train import make_optimizer, make_train_step
+    from eagcn_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(n_bfeat=20, sgc1=(16,) * 5, sgc2=(16,) * 5,
+                      n_den1=64, n_den2=32, n_tasks=1, dropout=0.0,
+                      structure="Concate", backend="ell", bf16=True,
+                      remat=True)
+    tx = make_optimizer(1e-3, 0.0)
+    dev = jax.devices()[0]
+    rungs = []
+    for n_nodes in sizes:
+        t0 = time.time()
+        g = giant_graph(5, n_nodes, avg_degree=4.0, n_bond_types=20,
+                        max_degree=8, span=4096)
+        edges = 2 * g.num_bonds
+        shape = BatchShape(
+            num_nodes=-(-(n_nodes + 8) // 128) * 128,
+            num_edges=-(-(edges + 8) // 128) * 128,
+            num_mols=1, max_degree=8,
+        )
+        batch = GraphBatcher(shape).pack(
+            [g], np.zeros((1, 1), np.float32), [0])
+        # ELL backend never reads the COO view — drop it before the
+        # device transfer (saves 32 B/edge of HBM), and shrink tables
+        # whose value ranges fit narrow types (rel ids < 20, rev slots
+        # < max_degree).  Feature bf16: the model casts anyway.
+        batch.edge_src = batch.edge_src[:0]
+        batch.edge_dst = batch.edge_dst[:0]
+        batch.edge_rel = batch.edge_rel[:0]
+        batch.edge_mask = batch.edge_mask[:0]
+        batch.neigh_rel = batch.neigh_rel.astype(np.int8)
+        batch.neigh_rev = batch.neigh_rev.astype(np.int8)
+        batch.node_feat = batch.node_feat.astype(jnp.bfloat16)
+        batch.neigh_mask = batch.neigh_mask.astype(jnp.bfloat16)
+        del g
+        gen_s = time.time() - t0
+        rung = {"n_nodes": n_nodes, "n_directed_edges": edges,
+                "host_gen_s": round(gen_s, 1)}
+        try:
+            dbatch = batch_to_jax(batch)
+            params, state = init_eagcn(jax.random.key(0), cfg)
+            opt = tx.init(params)
+            step = make_train_step(cfg, "reg", tx)
+            rng = jax.random.key(0, impl="rbg")
+            p, s, o, loss = step(params, state, opt, dbatch, rng)
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                p, s, o, loss = step(p, s, o, dbatch, rng)
+            jax.block_until_ready(loss)
+            dt = (time.perf_counter() - t0) / 5
+            ms = dev.memory_stats() or {}
+            rung.update({
+                "train_step": "ok",
+                "ms_per_train_step": round(dt * 1e3, 2),
+                "edges_per_s": round(edges / dt, 1),
+                "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
+            })
+            del p, s, o, loss
+        except Exception as e:  # OOM is the expected terminal rung
+            rung["train_step"] = f"OOM: {str(e)[:200]}"
+            # fwd-only (inference) often still fits — measure it
+            try:
+                dbatch = batch_to_jax(batch)
+                params, state = init_eagcn(jax.random.key(0), cfg)
+                fwd = jax.jit(lambda pp, ss, bb: apply_eagcn(
+                    pp, ss, bb, cfg, train=False)[0])
+                out = fwd(params, state, dbatch)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    out = fwd(params, state, dbatch)
+                jax.block_until_ready(out)
+                dt = (time.perf_counter() - t0) / 5
+                ms = dev.memory_stats() or {}
+                rung.update({
+                    "fwd_only": "ok",
+                    "ms_per_fwd": round(dt * 1e3, 2),
+                    "fwd_edges_per_s": round(edges / dt, 1),
+                    "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
+                })
+            except Exception as e2:
+                rung["fwd_only"] = f"OOM: {str(e2)[:200]}"
+        rungs.append(rung)
+        print("  envelope", rung, flush=True)
+        res = load()
+        res["memory_envelope"] = {
+            "device": str(dev),
+            "model": ("EAGCN Concate 4x5 views 16-wide, bf16+remat, ELL, "
+                      "int8 rel tables, COO dropped"),
+            "runs": rungs,
+        }
+        save(res)
+        if "OOM" in rung.get("train_step", "") and \
+                "OOM" in str(rung.get("fwd_only", "")):
+            break
+
+
 if MODE == "cpu":
     cpu_mode()
+elif MODE == "envelope":
+    memory_envelope()
 else:
     tpu_mode()
+    memory_envelope()
