@@ -168,7 +168,9 @@ def cpu_mode():
 
 def tpu_mode():
     """Single-chip giant-graph stress: train-step edges/s vs graph size."""
-    from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+    from eagcn_tpu.data.batching import (
+        BatchShape, batch_to_jax, pack_single_giant,
+    )
     from eagcn_tpu.data.synthetic import giant_graph
     from eagcn_tpu.models import init_eagcn
     from eagcn_tpu.train import make_optimizer, make_train_step
@@ -188,8 +190,7 @@ def tpu_mode():
             num_edges=-(-(edges + 8) // 128) * 128,
             num_mols=1, max_degree=8,
         )
-        labels = np.zeros((1, 1), np.float32)
-        batch = batch_to_jax(GraphBatcher(shape).pack([g], labels, [0]))
+        batch = batch_to_jax(pack_single_giant(g, shape))
         params, state = init_eagcn(jax.random.key(0), cfg)
         opt = tx.init(params)
         step = make_train_step(cfg, "reg", tx)
@@ -224,7 +225,9 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
     layers, int8 relation/reverse tables, bf16 features.  Records the
     largest train step AND largest fwd-only step that fit 16 GB HBM,
     with edges/s and live-buffer stats at each rung."""
-    from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+    from eagcn_tpu.data.batching import (
+        BatchShape, batch_to_jax, pack_single_giant,
+    )
     from eagcn_tpu.data.synthetic import giant_graph
     from eagcn_tpu.models import apply_eagcn, init_eagcn
     from eagcn_tpu.train import make_optimizer, make_train_step
@@ -247,8 +250,7 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
             num_edges=-(-(edges + 8) // 128) * 128,
             num_mols=1, max_degree=8,
         )
-        batch = GraphBatcher(shape).pack(
-            [g], np.zeros((1, 1), np.float32), [0])
+        batch = pack_single_giant(g, shape)
         # ELL backend never reads the COO view — drop it before the
         # device transfer (saves 32 B/edge of HBM), and shrink tables
         # whose value ranges fit narrow types (rel ids < 20, rev slots

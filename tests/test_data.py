@@ -112,3 +112,55 @@ class TestBatching:
                 n_mol = int(b.mol_size[b.node_mol[j]])
                 deg = int(b.neigh_mask[j].sum())
                 assert abs(b.node_tiny[j] - (n_mol - deg) * 1e-9) < 1e-15
+
+
+class TestGiantPacker:
+    """pack_single_giant (vectorized) vs GraphBatcher.pack (sequential) on
+    the same giant graph: same aggregation semantics, consistent rev slots."""
+
+    def test_pack_single_giant_matches_sequential(self):
+        from eagcn_tpu.data.batching import (
+            BatchShape, GraphBatcher, pack_single_giant,
+        )
+        from eagcn_tpu.data.synthetic import giant_graph
+
+        g = giant_graph(3, 3000, avg_degree=4.0, n_bond_types=12,
+                        max_degree=8, span=256)
+        shape = BatchShape(num_nodes=3072, num_edges=2 * g.num_bonds + 64,
+                           num_mols=1, max_degree=8)
+        lab = np.asarray([[0.5]], np.float32)
+        a = GraphBatcher(shape).pack([g], lab, [0])
+        b = pack_single_giant(g, shape, label=lab[0])
+
+        np.testing.assert_array_equal(a.node_feat, b.node_feat)
+        np.testing.assert_array_equal(a.node_mol, b.node_mol)
+        np.testing.assert_array_equal(a.node_conn, b.node_conn)
+        np.testing.assert_allclose(a.node_tiny, b.node_tiny, rtol=0, atol=0)
+        np.testing.assert_array_equal(a.labels, b.labels)
+        # per-row neighbour SETS match (slot order may differ)
+        n = g.num_atoms
+        for i in range(0, n, 97):
+            d = int(a.neigh_mask[i].sum())
+            assert d == int(b.neigh_mask[i].sum())
+            sa = sorted(zip(a.neigh[i, :d].tolist(),
+                            a.neigh_rel[i, :d, 0].tolist()))
+            sb = sorted(zip(b.neigh[i, :d].tolist(),
+                            b.neigh_rel[i, :d, 0].tolist()))
+            assert sa == sb
+        # rev-slot invariant: neigh[neigh[j,s], rev[j,s]] == j on real slots
+        jj, ss = np.nonzero(b.neigh_mask)
+        src = b.neigh[jj, ss]
+        assert np.array_equal(b.neigh[src, b.neigh_rev[jj, ss]], jj)
+        # identical aggregation through the ELL backend
+        import jax
+        import jax.numpy as jnp
+        from eagcn_tpu.ops.aggregate import make_ops
+
+        x = np.random.default_rng(0).normal(
+            size=(shape.num_nodes, 8)).astype(np.float32)
+        outs = []
+        for batch in (a, b):
+            ops = make_ops(batch, "ell", n_rels=(12, 4, 2, 2, 2))
+            w = ops.scores(jnp.linspace(-1, 1, 12), 0)
+            outs.append(np.asarray(ops.aggregate(w, jnp.asarray(x))))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
