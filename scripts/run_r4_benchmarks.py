@@ -11,6 +11,7 @@ not quantized to a 5-epoch grid (round-3 verdict, weak #2).
 Run: python scripts/run_r4_benchmarks.py [names...]
      (default: all four; pass a subset to rerun selectively)
 """
+import gc
 import json
 import os
 import sys
@@ -65,6 +66,16 @@ def main():
             summary[name] = {"error": traceback.format_exc()[-500:]}
         with open(SUMMARY, "w") as f:
             json.dump(summary, f, indent=2, default=float)
+        # the queue OOM'd at 119 GB RSS after three datasets: host-side
+        # dataset arrays + jit executables accumulate per Experiment.
+        # Drop everything between runs and clear jax's live caches.
+        try:
+            del exp, res
+        except NameError:
+            pass
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
     print("queue done", time.ctime(), flush=True)
 
 
