@@ -148,6 +148,27 @@ class EllOps:
         return jnp.einsum("ndv,ndf->nvf", weights, gathered,
                           preferred_element_type=jnp.float32)
 
+    def fused_multiview_pv(self, att_list, ys):
+        """Per-view narrow-side aggregation (enables the
+        `(A@X)@W == A@(X@W)` rewrite on the ELL backend, like tile/pallas).
+
+        Besides the FLOP cut, this is the giant-graph MEMORY path: the
+        shared-x route materializes [N, V, f_in] fp32 aggregates (40 GB at
+        25M nodes even 80-wide — the round-4 stress OOM), while here each
+        view's live temps are [N, D, f_v] at compute width, one view at a
+        time, and aggregates leave at compute width (the pallas kernel's
+        'agg at compute width' trick).  Returns (list of [N, f_v], rows
+        [V, N] f32)."""
+        aggs, rows = [], []
+        for v, (a, y) in enumerate(zip(att_list, ys)):
+            sig = self.scores(a, v)                  # [N, D] f32
+            rows.append(jnp.sum(sig, axis=1))
+            out = self.multi_aggregate(sig[:, :, None], y)[:, 0, :]
+            if self.compute_dtype is not None:
+                out = out.astype(self.compute_dtype)
+            aggs.append(out)
+        return aggs, jnp.stack(rows)
+
 
 class TileOps:
     """Block-dense tile backend — the TPU speed path for molecule-scale

@@ -131,3 +131,31 @@ class TestPackingInvariance:
             fwd = jax.jit(lambda p, s, bb: apply_eagcn(p, s, bb, cfg.model)[0])
             outs.append(np.asarray(fwd(params, state, batch_to_jax(b))))
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_ell_pre_transform_parity():
+    """EllOps.fused_multiview_pv (narrow-side rewrite) must match the
+    shared-x ELL path: (A@X)@W == A@(X@W) with per-node row-norm."""
+    import jax
+    import numpy as np
+    from eagcn_tpu.data.batching import BatchShape, GraphBatcher, batch_to_jax
+    from eagcn_tpu.data.synthetic import random_molecule_set
+    from eagcn_tpu.models import init_eagcn
+    from eagcn_tpu.models.eagcn import apply_eagcn
+    from eagcn_tpu.utils.config import ModelConfig
+
+    graphs, labels = random_molecule_set(7, 24, n_bond_types=12, n_tasks=2)
+    shape = BatchShape(num_nodes=896, num_edges=1792, num_mols=24)
+    batch = batch_to_jax(GraphBatcher(shape).pack(graphs, labels,
+                                                  list(range(24))))
+    # narrow layers (f_out < f_in after layer 1) so the rewrite engages
+    cfg = ModelConfig(n_bfeat=12, sgc1=(8,) * 5, sgc2=(8,) * 5,
+                      n_den1=16, n_den2=8, n_tasks=2, dropout=0.0,
+                      structure="Concate", backend="ell")
+    params, state = init_eagcn(jax.random.key(0), cfg)
+    out_pre = apply_eagcn(params, state, batch, cfg, train=False)[0]
+    import dataclasses
+    cfg_no = dataclasses.replace(cfg, pre_transform=False)
+    out_no = apply_eagcn(params, state, batch, cfg_no, train=False)[0]
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_no),
+                               rtol=2e-4, atol=2e-4)

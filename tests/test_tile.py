@@ -129,8 +129,12 @@ class TestTileVsEll:
             params, cfg_ell)
         (l_t, out_t), g_t = jax.value_and_grad(loss, has_aux=True)(
             params, cfg_tile)
-        np.testing.assert_allclose(out_t, out_e, rtol=2e-5, atol=2e-5)
-        np.testing.assert_allclose(float(l_t), float(l_e), rtol=1e-5)
+        # 1e-4: both backends now apply the narrow-side rewrite but group
+        # the aggregation/projection float ops differently (per-view ELL
+        # gathers vs stacked tile matmuls) — pure reassociation noise,
+        # amplified through 4 BN layers
+        np.testing.assert_allclose(out_t, out_e, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(l_t), float(l_e), rtol=1e-4)
         # global check: whole-gradient rel-L2 (catches systematic drift);
         # per-leaf atol floor covers BN-cancellation noise on ~zero grads
         # (dL/db through train-mode BN is analytically ~0; both backends
