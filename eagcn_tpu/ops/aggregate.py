@@ -327,6 +327,13 @@ def make_ops(batch, backend: str = "ell", compute_dtype=None,
     (bf16) is honoured by the ELL, tile and pallas backends; COO stays
     fp32.  `n_rels` (the five relation channel counts) lets the tile
     backends precompute their rowsum count tables eagerly."""
+    from .giant import GiantBatch, GiantEllOps
+
+    if isinstance(batch, GiantBatch):
+        # chunked flat-table path for graphs beyond molecule scale — the
+        # [N, D] layouts below pad D -> 128 lanes at rest (16x) and their
+        # backward gathers pad f -> 128, both fatal past ~2M nodes
+        return GiantEllOps(batch, compute_dtype=compute_dtype)
     if backend == "ell":
         return EllOps(batch.neigh, batch.neigh_rel, batch.neigh_mask,
                       neigh_rev=getattr(batch, "neigh_rev", None),

@@ -167,69 +167,68 @@ def cpu_mode():
 
 
 def tpu_mode():
-    """Single-chip giant-graph stress: train-step edges/s vs graph size."""
-    from eagcn_tpu.data.batching import (
-        BatchShape, batch_to_jax, pack_single_giant,
-    )
+    """Single-chip giant-graph stress: train-step edges/s vs graph size,
+    on the chunked flat-table giant path (ops/giant.py)."""
     from eagcn_tpu.data.synthetic import giant_graph
     from eagcn_tpu.models import init_eagcn
+    from eagcn_tpu.ops.giant import giant_batch_from_graph
     from eagcn_tpu.train import make_optimizer, make_train_step
     from eagcn_tpu.utils.config import ModelConfig
 
     cfg = ModelConfig(n_bfeat=20, sgc1=(40,) * 5, sgc2=(60,) * 5,
                       n_den1=128, n_den2=64, n_tasks=1, dropout=0.1,
-                      structure="Concate", backend="ell", bf16=True)
+                      structure="Concate", backend="ell", bf16=True,
+                      remat=True)
     tx = make_optimizer(1e-3, 0.0)
     runs = []
     for n_nodes in (250_000, 1_000_000, 2_500_000):
         g = giant_graph(5, n_nodes, avg_degree=4.0, n_bond_types=20,
                         max_degree=8)
         edges = 2 * g.num_bonds
-        shape = BatchShape(
-            num_nodes=-(-(n_nodes + 8) // 128) * 128,
-            num_edges=-(-(edges + 8) // 128) * 128,
-            num_mols=1, max_degree=8,
-        )
-        batch = batch_to_jax(pack_single_giant(g, shape))
-        params, state = init_eagcn(jax.random.key(0), cfg)
-        opt = tx.init(params)
-        step = make_train_step(cfg, "reg", tx)
-        rng = jax.random.key(0, impl="rbg")
-        p, s, o, loss = step(params, state, opt, batch, rng)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            p, s, o, loss = step(p, s, o, batch, rng)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / iters
-        runs.append({
-            "n_nodes": n_nodes, "n_directed_edges": edges,
-            "ms_per_train_step": round(dt * 1e3, 2),
-            "edges_per_s": round(edges / dt, 1),
-        })
-        print("  stress", runs[-1], flush=True)
-    res = load()
-    res["single_chip_stress"] = {
-        "device": str(jax.devices()[0]),
-        "model": "EAGCN Concate freesolv widths, bf16, ELL backend",
-        "runs": runs,
-    }
-    save(res)
+        rung = {"n_nodes": n_nodes, "n_directed_edges": edges}
+        try:
+            batch = jax.tree_util.tree_map(
+                jnp.asarray, giant_batch_from_graph(g))
+            params, state = init_eagcn(jax.random.key(0), cfg)
+            opt = tx.init(params)
+            step = make_train_step(cfg, "reg", tx)
+            rng = jax.random.key(0, impl="rbg")
+            p, s, o, loss = step(params, state, opt, batch, rng)
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            iters = 10
+            for _ in range(iters):
+                p, s, o, loss = step(p, s, o, batch, rng)
+            jax.block_until_ready(loss)
+            dt = (time.perf_counter() - t0) / iters
+            rung.update({
+                "ms_per_train_step": round(dt * 1e3, 2),
+                "edges_per_s": round(edges / dt, 1),
+            })
+        except Exception as e:
+            rung["error"] = str(e)[:300]
+        runs.append(rung)
+        print("  stress", rung, flush=True)
+        res = load()
+        res["single_chip_stress"] = {
+            "device": str(jax.devices()[0]),
+            "model": ("EAGCN Concate freesolv widths, bf16+remat, "
+                      "chunked giant path"),
+            "runs": runs,
+        }
+        save(res)
 
 
 def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
     """BASELINE config 5 upper end: push one chip toward 100M directed
-    edges (25M nodes x avg degree 4) with every memory lever on — ELL
-    backend (no COO duplicates on device), bf16 activations, remat'd
-    layers, int8 relation/reverse tables, bf16 features.  Records the
-    largest train step AND largest fwd-only step that fit 16 GB HBM,
-    with edges/s and live-buffer stats at each rung."""
-    from eagcn_tpu.data.batching import (
-        BatchShape, batch_to_jax, pack_single_giant,
-    )
+    edges (25M nodes x avg degree 4) on the chunked flat-table giant path
+    (ops/giant.py) with bf16 activations and remat'd layers.  Records the
+    largest train step AND largest fwd-only step that fit 16 GB HBM.
+    Uses per-view width 16 (=80 concat): on TPU any activation minor dim
+    <=128 pads to 128 lanes, so the envelope is set by N, not width."""
     from eagcn_tpu.data.synthetic import giant_graph
     from eagcn_tpu.models import apply_eagcn, init_eagcn
+    from eagcn_tpu.ops.giant import giant_batch_from_graph
     from eagcn_tpu.train import make_optimizer, make_train_step
     from eagcn_tpu.utils.config import ModelConfig
 
@@ -245,30 +244,15 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
         g = giant_graph(5, n_nodes, avg_degree=4.0, n_bond_types=20,
                         max_degree=8, span=4096)
         edges = 2 * g.num_bonds
-        shape = BatchShape(
-            num_nodes=-(-(n_nodes + 8) // 128) * 128,
-            num_edges=-(-(edges + 8) // 128) * 128,
-            num_mols=1, max_degree=8,
-        )
-        batch = pack_single_giant(g, shape)
-        # ELL backend never reads the COO view — drop it before the
-        # device transfer (saves 32 B/edge of HBM), and shrink tables
-        # whose value ranges fit narrow types (rel ids < 20, rev slots
-        # < max_degree).  Feature bf16: the model casts anyway.
-        batch.edge_src = batch.edge_src[:0]
-        batch.edge_dst = batch.edge_dst[:0]
-        batch.edge_rel = batch.edge_rel[:0]
-        batch.edge_mask = batch.edge_mask[:0]
-        batch.neigh_rel = batch.neigh_rel.astype(np.int8)
-        batch.neigh_rev = batch.neigh_rev.astype(np.int8)
-        batch.node_feat = batch.node_feat.astype(jnp.bfloat16)
-        batch.neigh_mask = batch.neigh_mask.astype(jnp.bfloat16)
+        host = giant_batch_from_graph(g)
+        host.node_feat = host.node_feat.astype(jnp.bfloat16)
+        host.mask_c = host.mask_c.astype(jnp.bfloat16)
         del g
         gen_s = time.time() - t0
         rung = {"n_nodes": n_nodes, "n_directed_edges": edges,
                 "host_gen_s": round(gen_s, 1)}
         try:
-            dbatch = batch_to_jax(batch)
+            dbatch = jax.tree_util.tree_map(jnp.asarray, host)
             params, state = init_eagcn(jax.random.key(0), cfg)
             opt = tx.init(params)
             step = make_train_step(cfg, "reg", tx)
@@ -287,15 +271,22 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
                 "edges_per_s": round(edges / dt, 1),
                 "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
             })
-            del p, s, o, loss
+            del p, s, o, loss, dbatch
         except Exception as e:  # OOM is the expected terminal rung
             rung["train_step"] = f"OOM: {str(e)[:200]}"
-            # fwd-only (inference) often still fits — measure it
+            # fwd-only (inference) often still fits — measure it.  Force
+            # full execution by returning a checksum of the atom reps,
+            # not just the [1,1] logits.
             try:
-                dbatch = batch_to_jax(batch)
+                dbatch = jax.tree_util.tree_map(jnp.asarray, host)
                 params, state = init_eagcn(jax.random.key(0), cfg)
-                fwd = jax.jit(lambda pp, ss, bb: apply_eagcn(
-                    pp, ss, bb, cfg, train=False)[0])
+
+                def fwd_fn(pp, ss, bb):
+                    logits, reps, _, _ = apply_eagcn(pp, ss, bb, cfg,
+                                                     train=False)
+                    return logits, jnp.sum(reps)
+
+                fwd = jax.jit(fwd_fn)
                 out = fwd(params, state, dbatch)
                 jax.block_until_ready(out)
                 t0 = time.perf_counter()
@@ -317,8 +308,8 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
         res = load()
         res["memory_envelope"] = {
             "device": str(dev),
-            "model": ("EAGCN Concate 4x5 views 16-wide, bf16+remat, ELL, "
-                      "int8 rel tables, COO dropped"),
+            "model": ("EAGCN Concate 4x5 views 16-wide, bf16+remat, "
+                      "chunked giant path"),
             "runs": rungs,
         }
         save(res)
