@@ -83,6 +83,16 @@ class GraphBatch:
         default_factory=lambda: np.zeros((0, 0, 0), np.int8))   # [T, S, S]
     tile_rel: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 5, 0, 0), np.int8))  # [T,5,S,S]
+    # tile-local readout tables (empty unless tile-aligned packing):
+    # pool_sel[t, i, j] = 1 iff row i of tile t is a real atom of molecule
+    # (first molecule id in tile t) + j.  Because `pack` never lets a
+    # molecule cross a tile boundary, each molecule lives in exactly one
+    # tile and the sum-over-atoms readout (`models.py:108`) becomes one
+    # MXU bmm + a row gather — no scatter (ops/aggregate.py:tile_readout).
+    pool_sel: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0, 0), np.int8))   # [T, S, S]
+    mol_slot: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,), np.int32))       # [B]
 
     @property
     def num_nodes(self) -> int:
@@ -121,6 +131,38 @@ def _advance_aligned(cursor: int, n: int, tile: int) -> int:
 
 def _empty_tiles():
     return (np.zeros((0, 0, 0), np.int8), np.zeros((0, 5, 0, 0), np.int8))
+
+
+def build_pool_tables(node_mol: np.ndarray, node_mask: np.ndarray,
+                      tile_size: int, num_mols: int):
+    """(pool_sel [T,S,S] i8, mol_slot [B] i32) for the tile-local readout.
+
+    Valid only for tile-aligned packing (no molecule crosses a tile
+    boundary; molecule ids ascend with the node cursor — both guaranteed
+    by `GraphBatcher.pack` / the native packer).  `mol_slot[b]` is the
+    flat row of `einsum('tij,tif->tjf', pool_sel, x)` holding molecule
+    b's atom sum; padding molecules point at row 0 and are masked by
+    `mol_mask` in the op."""
+    S = int(tile_size)
+    N = int(node_mol.shape[0])
+    T = N // S
+    B = int(num_mols)
+    ids = np.where(node_mask > 0, node_mol, B).reshape(T, S)  # B > real ids
+    mol_lo = ids.min(axis=1)                                  # [T]
+    local = ids - mol_lo[:, None]
+    pool_sel = np.zeros((T, S, S), np.int8)
+    t_idx, s_idx = np.nonzero(ids < B)
+    pool_sel[t_idx, s_idx, local[t_idx, s_idx]] = 1
+    mol_slot = np.zeros((B,), np.int32)
+    flat = ids.reshape(-1)
+    rows = np.flatnonzero(flat < B)
+    if rows.size:
+        vals = flat[rows]                  # ascending (packing order)
+        n_real = int(vals[-1]) + 1
+        first = rows[np.searchsorted(vals, np.arange(n_real))]
+        t_of = first // S
+        mol_slot[:n_real] = t_of * S + (np.arange(n_real) - mol_lo[t_of])
+    return pool_sel, mol_slot
 
 
 @dataclasses.dataclass
@@ -281,12 +323,18 @@ class GraphBatcher:
 
         node_conn = (deg > 0).astype(np.float32)
         tile_adj, tile_rel = _empty_tiles()
+        pool_sel = np.zeros((0, 0, 0), np.int8)
+        mol_slot = np.zeros((0,), np.int32)
         if sh.tile_size:
             tile_adj, tile_rel = build_tile_tensors(
                 edge_src, edge_dst, edge_rel, edge_mask, N, sh.tile_size
             )
+            pool_sel, mol_slot = build_pool_tables(
+                node_mol, node_mask, sh.tile_size, B
+            )
         return GraphBatch(
             tile_adj=tile_adj, tile_rel=tile_rel,
+            pool_sel=pool_sel, mol_slot=mol_slot,
             node_feat=node_feat, node_mol=node_mol, node_mask=node_mask,
             node_conn=node_conn, node_tiny=node_tiny, node_subtype=node_subtype,
             neigh=neigh, neigh_rel=neigh_rel, neigh_mask=neigh_mask,
@@ -407,7 +455,14 @@ def pack_from_dataset(
                 lab = np.zeros((shape.num_mols, n_tasks), np.float32)
                 if len(ids):
                     lab[: len(ids)] = ds.labels[np.asarray(ids, np.int64)]
-                return GraphBatch(labels=lab, **out)
+                gb = GraphBatch(labels=lab, **out)
+                if shape.tile_size:
+                    ps, ms = build_pool_tables(
+                        gb.node_mol, gb.node_mask, shape.tile_size,
+                        shape.num_mols,
+                    )
+                    gb = dataclasses.replace(gb, pool_sel=ps, mol_slot=ms)
+                return gb
     batcher = GraphBatcher(shape)
     graphs = [ds.graphs[int(i)] for i in ids]
     labels = (np.stack([ds.labels[int(i)] for i in ids])

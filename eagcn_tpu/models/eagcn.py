@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.batching import GraphBatch
-from ..ops.aggregate import EllOps, make_ops, segment_readout
+from ..ops.aggregate import EllOps, make_ops, segment_readout, tile_readout
 from ..utils.config import ModelConfig
 from .layers import (
     dense_apply,
@@ -186,7 +186,16 @@ def apply_eagcn(
         from .diffpool import diff_pooling_apply
         mol = diff_pooling_apply(params, ops, batch, atom_reps, consensus)
     else:
-        mol = segment_readout(x, batch.node_mol, B, batch.node_mask)
+        # tile-aligned batches carry scatter-free readout tables; giant
+        # graphs / tileless shapes fall back to the sorted segment sum
+        if (batch.pool_sel.size > 0
+                and batch.pool_sel.shape[0] * batch.pool_sel.shape[1]
+                == x.shape[0]):
+            mol = tile_readout(x, batch.pool_sel, batch.mol_slot,
+                               batch.mol_mask, batch.node_mol,
+                               batch.node_mask)
+        else:
+            mol = segment_readout(x, batch.node_mol, B, batch.node_mask)
         if cfg.molfp_mode == "ave":                   # models.py:109-110
             mol = mol / jnp.maximum(batch.mol_size[:, None], 1.0)
 

@@ -103,7 +103,7 @@ def _fwd_kernel(sigw_ref, x_ref, adj_ref, rel_ref, agg_ref, sig_ref, *,
 
 def _bwd_kernel(sigw_ref, adj_ref, rel_ref, x_ref, g_ref,
                 dsigw_ref, dx_ref, sig_ref, dsig_ref, *, n_rels, shared,
-                tb, s):
+                tb, s, f_rem):
     t = pl.program_id(0)
     fi = pl.program_id(1)
     nfi = pl.num_programs(1)
@@ -125,6 +125,17 @@ def _bwd_kernel(sigw_ref, adj_ref, rel_ref, x_ref, g_ref,
         for v in range(V):
             x = x_ref[rows] if shared else x_ref[v, rows]
             gv = g_ref[v, rows]                           # [S, TF]
+            if f_rem:
+                # the feature dim is NOT padded in HBM: the final grid
+                # block is partial and its out-of-bounds lanes load
+                # unspecified data (NaN in interpret mode).  Stores are
+                # masked automatically, but the dsig dot below CONTRACTS
+                # the feature axis, so the tail lanes of BOTH operands
+                # must be zeroed (0 * NaN = NaN — one side is not enough).
+                lane = jax.lax.broadcasted_iota(jnp.int32, gv.shape, 1)
+                ok = jnp.logical_or(fi != nfi - 1, lane < f_rem)
+                gv = jnp.where(ok, gv, 0)
+                x = jnp.where(ok, x, 0)
             sig = sig_ref[b, v].astype(gv.dtype)
             # dx[j,f] += sum_i sig[v,i,j] * g[v,i,f] (contract row axis)
             dxv = jax.lax.dot_general(
@@ -188,6 +199,8 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
     tb_f = _pick_tb(t, s, tf, shared, xdtype.itemsize, n_scratch=1)
     tb_b = _pick_tb(t, s, tf, shared, xdtype.itemsize, n_scratch=2)
     sigw_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    nf = -(-f // tf)          # feature grid; last block partial if f % tf
+    f_rem = f % tf
 
     def specs(tb):
         adj = pl.BlockSpec((tb, s, s), lambda ti, fi: (ti, 0, 0),
@@ -212,7 +225,7 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, n_rels=n_rels, shared=shared,
                           tb=tb_f, s=s),
-        grid=(t // tb_f, f // tf),
+        grid=(t // tb_f, nf),
         in_specs=[sigw_spec, x_f, adj_f, rel_f],
         out_specs=vagg_f,
         # agg at compute width (fp32-accumulated in VMEM): halves the HBM
@@ -230,8 +243,8 @@ def _make_fused(n_rels: tuple, s: int, tf: int, t: int, f: int, c_max: int,
     adj_b, rel_b, x_b, vagg_b = specs(tb_b)
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, n_rels=n_rels, shared=shared,
-                          tb=tb_b, s=s),
-        grid=(t // tb_b, f // tf),
+                          tb=tb_b, s=s, f_rem=f_rem),
+        grid=(t // tb_b, nf),
         in_specs=[sigw_spec, adj_b, rel_b, x_b, vagg_b],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -282,16 +295,15 @@ def fused_tile_multiview(sigw, x, tile_adj, tile_rel, n_rels,
     n0, f0 = (x.shape if shared else x.shape[1:])
     assert n0 == t * s, (n0, t, s)
     tf = _pick_ftile(f0, s)
-    f = -(-f0 // tf) * tf
-    if f != f0:
-        pad = ((0, 0), (0, f - f0)) if shared else ((0, 0), (0, 0), (0, f - f0))
-        x = jnp.pad(x, pad)
-    fn = _make_fused(tuple(n_rels), s, tf, t, f, sigw.shape[1], shared,
+    # f0 need not be lane-aligned: the feature grid's last block is
+    # partial (masked stores; the bwd kernel zero-masks the tail lanes of
+    # the cotangent before its feature-contracting dot).  Keeping the
+    # [V, N, F] arrays unpadded in HBM saves the explicit pad round-trips
+    # and up to 83% of the kernel's byte footprint at reference widths
+    # (140 -> 256, 280 -> 384 padding previously).
+    fn = _make_fused(tuple(n_rels), s, tf, t, f0, sigw.shape[1], shared,
                      x.dtype.name, bool(interpret))
-    agg = fn(sigw.astype(jnp.float32), x, tile_adj, tile_rel)
-    if f != f0:
-        agg = agg[:, :, :f0]
-    return agg
+    return fn(sigw.astype(jnp.float32), x, tile_adj, tile_rel)
 
 
 def _pad_sigw(att_list):
