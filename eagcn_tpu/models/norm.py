@@ -15,6 +15,7 @@ eps 1e-5 (torch defaults, used at `layers.py:399`).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -25,6 +26,76 @@ BNState = Dict[str, jnp.ndarray]
 
 EPS = 1e-5
 MOMENTUM = 0.1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bn_train_core(x, mask, scale, bias, axis_name):
+    """Masked train-mode BN with a hand-written backward.
+
+    XLA's autodiff of the naive formulation materializes the statistic
+    cotangents inside large transpose fusions that run far below HBM
+    bandwidth (profiled 6-8 ms per [225k, 1400] reduction on v5e).  The
+    custom backward needs exactly TWO wide reductions (sum g, sum g*x)
+    and ONE elementwise pass — the roofline minimum for BN backward.
+    Returns (y, mean, biased-clamped var, count)."""
+    out, _ = _bn_core_fwd(x, mask, scale, bias, axis_name)
+    return out
+
+
+def _bn_train_fwd_math(x, mask, axis_name):
+    m = mask[:, None]
+    count = jnp.sum(mask)
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32 * m, axis=0)
+    s2 = jnp.sum(x32 * x32 * m, axis=0)
+    if axis_name is not None:
+        count = jax.lax.psum(count, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    count = jnp.maximum(count, 1.0)
+    mean = s1 / count
+    raw = s2 / count - mean * mean
+    var = jnp.maximum(raw, 0.0)
+    gate = (raw > 0.0).astype(jnp.float32)   # maximum(., 0) subgradient
+    return None, mean, var, count, gate, x32
+
+
+def _bn_core_fwd(x, mask, scale, bias, axis_name):
+    _, mean, var, count, gate, _ = _bn_train_fwd_math(x, mask, axis_name)
+    inv = jax.lax.rsqrt(var + EPS)
+    y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+    return (y, mean, var, count), (x, mask, scale, mean, inv, count, gate)
+
+
+def _bn_core_bwd(axis_name, res, cts):
+    g, g_mean, g_var, _ = cts
+    x, mask, scale, mean, inv, count, gate = res
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    G = jnp.sum(g32, axis=0)                       # [F]
+    Sgx = jnp.sum(g32 * x32, axis=0)               # [F]
+    # param grads stay LOCAL (the surrounding data-parallel grad psum
+    # sums them); the statistic cotangents feeding dx must be GLOBAL
+    d_scale = inv * (Sgx - mean * G)
+    d_bias = G
+    if axis_name is not None:
+        G = jax.lax.psum(G, axis_name)
+        Sgx = jax.lax.psum(Sgx, axis_name)
+    centered = Sgx - mean * G
+    # dL/dvar: from y (gated through the clamp) plus the direct var output
+    dv = gate * (-0.5 * inv ** 3 * scale * centered + g_var)
+    # dL/dmean: direct y term plus the mean output; var's dependence on
+    # mean is folded below via s1 (var = s2/c - (s1/c)^2)
+    dm = -inv * scale * G + g_mean
+    c = count
+    ds1 = (dm - 2.0 * mean * dv) / c
+    ds2 = dv / c
+    dx = (g32 * (inv * scale)
+          + mask[:, None] * (ds1 + 2.0 * ds2 * x32)).astype(x.dtype)
+    return dx, jnp.zeros_like(mask), d_scale, d_bias
+
+
+_bn_train_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
 def init_batch_norm(key: jax.Array, dim: int) -> Tuple[BNParams, BNState]:
@@ -54,29 +125,16 @@ def batch_norm_apply(
     GLOBAL batch statistics (the reference is single-device; this is the
     multi-chip generalization)."""
     if train:
-        m = mask[:, None]
-        count = jnp.sum(mask)
-        # x32: bf16 activations convert IN-REGISTER inside the reduction
-        # fusions (no f32 materialization) — without this, x*x would round
-        # to bf16 BEFORE the sum and bias the variance
-        x32 = x.astype(jnp.float32)
-        s1 = jnp.sum(x32 * m, axis=0)
-        s2 = jnp.sum(x32 * x32 * m, axis=0)
-        if axis_name is not None:
-            count = jax.lax.psum(count, axis_name)
-            s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
-        count = jnp.maximum(count, 1.0)
-        mean = s1 / count
-        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        y, mean, var, count = _bn_train_core(
+            x, mask, params["scale"], params["bias"], axis_name
+        )
         unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
         new_state = {
             "mean": (1 - MOMENTUM) * state["mean"] + MOMENTUM * mean,
             "var": (1 - MOMENTUM) * state["var"] + MOMENTUM * unbiased,
         }
-    else:
-        mean, var = state["mean"], state["var"]
-        new_state = state
+        return y, new_state
+    mean, var = state["mean"], state["var"]
     inv = jax.lax.rsqrt(var + EPS)
     y = (x - mean) * inv * params["scale"] + params["bias"]
-    return y, new_state
+    return y, state
