@@ -187,11 +187,13 @@ def apply_eagcn(
         mol = diff_pooling_apply(params, ops, batch, atom_reps, consensus)
     else:
         # tile-aligned batches carry scatter-free readout tables; giant
-        # graphs / tileless shapes fall back to the sorted segment sum
-        if (batch.pool_sel.size > 0
-                and batch.pool_sel.shape[0] * batch.pool_sel.shape[1]
+        # graphs (GiantBatch has no pool_sel) / tileless shapes fall back
+        # to the sorted segment sum
+        pool_sel = getattr(batch, "pool_sel", None)
+        if (pool_sel is not None and pool_sel.size > 0
+                and pool_sel.shape[0] * pool_sel.shape[1]
                 == x.shape[0]):
-            mol = tile_readout(x, batch.pool_sel, batch.mol_slot,
+            mol = tile_readout(x, pool_sel, batch.mol_slot,
                                batch.mol_mask, batch.node_mol,
                                batch.node_mask)
         else:

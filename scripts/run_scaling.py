@@ -44,7 +44,18 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
-OUT = "/root/repo/SCALING_r4.json"
+OUT = "/root/repo/SCALING_r5.json"
+
+
+def _floor_of(compiled) -> float:
+    """Physics floor (s) for a compiled program: XLA cost-model bytes /
+    HBM peak.  0.0 (guard off) when the backend lacks cost analysis or
+    we're on the CPU mesh (whose 'bandwidth' isn't the v5e's)."""
+    from eagcn_tpu.utils.timing import bytes_floor_s, program_bytes
+
+    if MODE == "cpu":
+        return 0.0
+    return bytes_floor_s(program_bytes(compiled))
 
 
 def load():
@@ -187,23 +198,32 @@ def tpu_mode():
         edges = 2 * g.num_bonds
         rung = {"n_nodes": n_nodes, "n_directed_edges": edges}
         try:
+            from eagcn_tpu.utils.timing import guarded_time
+
             batch = jax.tree_util.tree_map(
                 jnp.asarray, giant_batch_from_graph(g))
             params, state = init_eagcn(jax.random.key(0), cfg)
             opt = tx.init(params)
             step = make_train_step(cfg, "reg", tx)
             rng = jax.random.key(0, impl="rbg")
-            p, s, o, loss = step(params, state, opt, batch, rng)
-            jax.block_until_ready(loss)
-            t0 = time.perf_counter()
-            iters = 10
-            for _ in range(iters):
+            floor = _floor_of(step.lower(params, state, opt, batch,
+                                         rng).compile())
+
+            def one(carry):
+                p, s, o = carry
                 p, s, o, loss = step(p, s, o, batch, rng)
-            jax.block_until_ready(loss)
-            dt = (time.perf_counter() - t0) / iters
+                return (p, s, o)
+
+            dt, status = guarded_time(
+                one, (params, state, opt), steps=10, warmup=1,
+                floor_s=floor, log=lambda m: print("  " + m, flush=True))
+            ms = jax.devices()[0].memory_stats() or {}
             rung.update({
                 "ms_per_train_step": round(dt * 1e3, 2),
                 "edges_per_s": round(edges / dt, 1),
+                "physics_floor_ms": round(floor * 1e3, 2),
+                "timing_status": status,
+                "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
             })
         except Exception as e:
             rung["error"] = str(e)[:300]
@@ -252,26 +272,34 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
         rung = {"n_nodes": n_nodes, "n_directed_edges": edges,
                 "host_gen_s": round(gen_s, 1)}
         try:
+            from eagcn_tpu.utils.timing import guarded_time
+
             dbatch = jax.tree_util.tree_map(jnp.asarray, host)
             params, state = init_eagcn(jax.random.key(0), cfg)
             opt = tx.init(params)
             step = make_train_step(cfg, "reg", tx)
             rng = jax.random.key(0, impl="rbg")
-            p, s, o, loss = step(params, state, opt, dbatch, rng)
-            jax.block_until_ready(loss)
-            t0 = time.perf_counter()
-            for _ in range(5):
+            floor = _floor_of(step.lower(params, state, opt, dbatch,
+                                         rng).compile())
+
+            def one(carry):
+                p, s, o = carry
                 p, s, o, loss = step(p, s, o, dbatch, rng)
-            jax.block_until_ready(loss)
-            dt = (time.perf_counter() - t0) / 5
+                return (p, s, o)
+
+            dt, status = guarded_time(
+                one, (params, state, opt), steps=5, warmup=1,
+                floor_s=floor, log=lambda m: print("  " + m, flush=True))
             ms = dev.memory_stats() or {}
             rung.update({
                 "train_step": "ok",
                 "ms_per_train_step": round(dt * 1e3, 2),
                 "edges_per_s": round(edges / dt, 1),
+                "physics_floor_ms": round(floor * 1e3, 2),
+                "timing_status": status,
                 "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
             })
-            del p, s, o, loss, dbatch
+            del dbatch
         except Exception as e:  # OOM is the expected terminal rung
             rung["train_step"] = f"OOM: {str(e)[:200]}"
             # fwd-only (inference) often still fits — measure it.  Force
@@ -286,19 +314,23 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
                                                      train=False)
                     return logits, jnp.sum(reps)
 
+                from eagcn_tpu.utils.timing import guarded_time
+
                 fwd = jax.jit(fwd_fn)
-                out = fwd(params, state, dbatch)
-                jax.block_until_ready(out)
-                t0 = time.perf_counter()
-                for _ in range(5):
-                    out = fwd(params, state, dbatch)
-                jax.block_until_ready(out)
-                dt = (time.perf_counter() - t0) / 5
+                floor = _floor_of(
+                    fwd.lower(params, state, dbatch).compile())
+
+                dt, status = guarded_time(
+                    lambda c: fwd(params, state, dbatch), None,
+                    steps=5, warmup=1, floor_s=floor,
+                    log=lambda m: print("  " + m, flush=True))
                 ms = dev.memory_stats() or {}
                 rung.update({
                     "fwd_only": "ok",
                     "ms_per_fwd": round(dt * 1e3, 2),
                     "fwd_edges_per_s": round(edges / dt, 1),
+                    "physics_floor_ms": round(floor * 1e3, 2),
+                    "timing_status": status,
                     "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
                 })
             except Exception as e2:

@@ -94,7 +94,7 @@ def probes():
     t(f"FULL train step: {dt*1e3:.2f} ms -> {real_edges/dt/1e6:.2f}M edges/s")
 
     # dense reference-algorithm baseline
-    eps_d, dt_d = bench.bench_dense(cfg, graphs, labels, real_edges)
+    eps_d, dt_d, _status = bench.bench_dense(cfg, graphs, labels, real_edges)
     t(f"dense baseline step: {dt_d*1e3:.2f} ms -> {eps_d/1e6:.2f}M edges/s "
       f"(speedup {(real_edges/dt)/eps_d:.1f}x)")
 
