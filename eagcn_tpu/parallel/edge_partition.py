@@ -57,6 +57,15 @@ class PartitionedGraph:
     node_conn: np.ndarray    # [S, Ns] f32
     node_tiny: np.ndarray    # [S, Ns] f32
     node_mol: np.ndarray     # [S, Ns] int32 graph segment id (padding -> G)
+    # compact halo-edge COO table (overlap mode): the few ELL slots whose
+    # source is remote, flattened to [Eh] entries sorted by dst row.  The
+    # local einsum then has NO data dependence on the all_to_all, so XLA's
+    # latency-hiding scheduler runs the exchange concurrently with it;
+    # only this tiny tail (halo fraction ~0.1-1% of edges) waits.
+    halo_edge_dst: np.ndarray   # [S, Eh] int32 local row
+    halo_edge_slot: np.ndarray  # [S, Eh] int32 ELL slot d
+    halo_edge_src: np.ndarray   # [S, Eh] int32 into the halo buffer [0,S*Hp)
+    halo_edge_mask: np.ndarray  # [S, Eh] f32
 
     @property
     def num_shards(self) -> int:
@@ -167,6 +176,8 @@ def partition_giant_graph(
     node_tiny = np.zeros((S, ns), np.float32)
     node_mol = np.full((S, ns), len(graphs), np.int32)
 
+    halo_edges = [[] for _ in range(S)]   # per shard: (dst row, slot, src)
+
     for s in range(S):
         lo = s * ns
         cnt = min(ns, n - lo) if lo < n else 0
@@ -191,11 +202,26 @@ def partition_giant_graph(
             node_tiny[s, i] = (mol_n[gidx] - deg[gidx]) * TINY
             for d in range(deg[gidx]):
                 src = int(neigh_g[gidx, d])
-                neigh[s, i, d] = (
-                    src - lo if owner(src) == s else remote_index[src]
-                )
+                if owner(src) == s:
+                    neigh[s, i, d] = src - lo
+                else:
+                    buf_idx = remote_index[src]
+                    neigh[s, i, d] = buf_idx
+                    halo_edges[s].append((i, d, buf_idx - ns))
                 rels[s, i, d] = rel_g[gidx, d]
                 nmask[s, i, d] = 1.0
+
+    eh = max(max((len(h) for h in halo_edges), default=0), 1)
+    he_dst = np.zeros((S, eh), np.int32)
+    he_slot = np.zeros((S, eh), np.int32)
+    he_src = np.zeros((S, eh), np.int32)
+    he_mask = np.zeros((S, eh), np.float32)
+    for s in range(S):
+        for k, (i, d, hsrc) in enumerate(halo_edges[s]):  # already dst-sorted
+            he_dst[s, k] = i
+            he_slot[s, k] = d
+            he_src[s, k] = hsrc
+            he_mask[s, k] = 1.0
 
     node_conn = (nmask.sum(-1) > 0).astype(np.float32)
     return PartitionedGraph(
@@ -203,6 +229,8 @@ def partition_giant_graph(
         halo_ids=halo_ids, halo_mask=halo_mask, send_ids=send_ids,
         node_mask=node_mask,
         node_conn=node_conn, node_tiny=node_tiny, node_mol=node_mol,
+        halo_edge_dst=he_dst, halo_edge_slot=he_slot, halo_edge_src=he_src,
+        halo_edge_mask=he_mask,
     )
 
 

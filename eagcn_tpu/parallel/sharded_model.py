@@ -56,25 +56,40 @@ class EllHaloOps:
 
     `packed=True` (default) ships only the referenced rows via all_to_all
     (bytes ∝ halo size); `packed=False` all-gathers the full feature array
-    (the round-3 v1 behavior, kept for A/B measurement)."""
+    (the round-3 v1 behavior, kept for A/B measurement).
+
+    `overlap=True` (default) OVERLAPS the exchange with local aggregation
+    (SURVEY §2.2 row 3 'double-buffered'): the all_to_all is issued first,
+    the full-size einsum runs on local-source slots only (no data
+    dependence on the collective, so XLA's latency-hiding scheduler keeps
+    it in flight underneath), and only a compact per-halo-edge COO tail —
+    0.1-1% of edges on the locality-window stress graphs — waits for the
+    received rows.  `overlap=False` is the exchange-then-gather schedule
+    kept for A/B."""
 
     def __init__(self, part_local, axis_name: str = "graph",
-                 packed: bool = True):
+                 packed: bool = True, overlap: bool = True):
         self.neigh = part_local.neigh            # [Ns, D] into [0, Ns+S*Hp)
         self.neigh_rel = part_local.neigh_rel    # [Ns, D, 5]
         self.neigh_mask = part_local.neigh_mask  # [Ns, D]
         self.halo_ids = part_local.halo_ids      # [S*Hp] global ids
         self.send_ids = part_local.send_ids      # [S, Hp] local rows
+        self.he_dst = part_local.halo_edge_dst   # [Eh]
+        self.he_slot = part_local.halo_edge_slot # [Eh]
+        self.he_src = part_local.halo_edge_src   # [Eh] into halo [0,S*Hp)
+        self.he_mask = part_local.halo_edge_mask # [Eh]
         self.axis_name = axis_name
         self.packed = packed
+        self.overlap = overlap
         self.compute_dtype = None
 
-    def _buffer(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _halo(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.packed:
-            halo = halo_exchange_packed(x, self.send_ids, self.axis_name)
-        else:
-            halo = halo_exchange(x, self.halo_ids, self.axis_name)
-        return jnp.concatenate([x, halo], axis=0)
+            return halo_exchange_packed(x, self.send_ids, self.axis_name)
+        return halo_exchange(x, self.halo_ids, self.axis_name)
+
+    def _buffer(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([x, self._halo(x)], axis=0)
 
     def scores(self, att_w: jnp.ndarray, rel_col: int) -> jnp.ndarray:
         rel = self.neigh_rel[:, :, rel_col]
@@ -83,7 +98,34 @@ class EllHaloOps:
     def rowsum(self, weights: jnp.ndarray) -> jnp.ndarray:
         return jnp.sum(weights, axis=1)
 
+    def _overlapped(self, weights: jnp.ndarray, x: jnp.ndarray,
+                    spec: str) -> jnp.ndarray:
+        """Local-slot einsum (collective-independent) + halo-edge COO tail.
+        weights [Ns, D] or [Ns, D, V]; returns [Ns, F] / [Ns, V, F]."""
+        ns = x.shape[0]
+        halo = self._halo(x)                     # issued FIRST; consumed last
+        is_local = self.neigh < ns
+        idx_local = jnp.where(is_local, self.neigh, 0)
+        w_local = weights * (is_local.astype(weights.dtype)
+                             [..., None] if weights.ndim == 3
+                             else is_local.astype(weights.dtype))
+        out = jnp.einsum(spec, w_local, x[idx_local],
+                         preferred_element_type=jnp.float32)
+        # tiny tail: one gathered weight + one received row per halo edge
+        w_h = weights[self.he_dst, self.he_slot]           # [Eh] / [Eh, V]
+        w_h = w_h * (self.he_mask[:, None] if w_h.ndim == 2
+                     else self.he_mask)
+        g_h = halo[self.he_src].astype(w_h.dtype)          # [Eh, F]
+        if weights.ndim == 3:
+            contrib = w_h[:, :, None] * g_h[:, None, :]    # [Eh, V, F]
+        else:
+            contrib = w_h[:, None] * g_h                   # [Eh, F]
+        tail = jax.ops.segment_sum(contrib, self.he_dst, num_segments=ns)
+        return out + tail.astype(out.dtype)
+
     def aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        if self.overlap:
+            return self._overlapped(weights, x, "nd,ndf->nf")
         gathered = self._buffer(x)[self.neigh]            # [Ns, D, F]
         return jnp.einsum("nd,ndf->nf", weights, gathered,
                           preferred_element_type=jnp.float32)
@@ -91,6 +133,8 @@ class EllHaloOps:
     def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """weights [Ns, D, V], x [Ns, F] -> [Ns, V, F]; ONE halo exchange +
         ONE gather shared by all views."""
+        if self.overlap:
+            return self._overlapped(weights, x, "ndv,ndf->nvf")
         gathered = self._buffer(x)[self.neigh]            # [Ns, D, F]
         return jnp.einsum("ndv,ndf->nvf", weights, gathered,
                           preferred_element_type=jnp.float32)
@@ -106,12 +150,13 @@ def apply_eagcn_partitioned(
     rng: Optional[jax.Array] = None,
     axis_name: str = "graph",
     packed: bool = True,
+    overlap: bool = True,
 ) -> Tuple[jnp.ndarray, dict]:
     """Per-shard body (call inside shard_map): the full EAGCN forward on a
     batch of `n_graphs` edge-partitioned giant graphs -> (logits [G, T],
     new_state).  The readout is a local segment-sum over `node_mol` psum'd
     over shards (`models.py:108` semantics across shard boundaries)."""
-    ops = EllHaloOps(part_local, axis_name, packed=packed)
+    ops = EllHaloOps(part_local, axis_name, packed=packed, overlap=overlap)
     shim = _ShardBatchShim(
         node_conn=part_local.node_conn,
         node_tiny=part_local.node_tiny,
@@ -165,7 +210,8 @@ def apply_eagcn_partitioned(
 def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
                                 n_graphs: int = 1,
                                 axis_name: str = "graph",
-                                packed: bool = True):
+                                packed: bool = True,
+                                overlap: bool = True):
     """Jitted full-model train step over a batch of edge-partitioned giant
     graphs: (params, state, opt_state, part [S,...], labels [G,T], rng) ->
     (params, state, opt_state, loss).  Regression MSE on the graph-level
@@ -182,6 +228,7 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
             logits, new_state = apply_eagcn_partitioned(
                 p, state, local, cfg, n_graphs=n_graphs, train=True,
                 rng=rng, axis_name=axis_name, packed=packed,
+                overlap=overlap,
             )
             loss = jnp.mean((logits - labels) ** 2)
             # differentiate loss/n: under check_vma=False the transpose of
@@ -218,7 +265,8 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
 
 def make_partitioned_eval(cfg: ModelConfig, mesh, n_graphs: int = 1,
                           axis_name: str = "graph",
-                          packed: bool = True):
+                          packed: bool = True,
+                          overlap: bool = True):
     """Jitted forward over the partitioned graph batch -> logits [G, T]."""
     from jax.sharding import PartitionSpec as P
 
@@ -226,7 +274,7 @@ def make_partitioned_eval(cfg: ModelConfig, mesh, n_graphs: int = 1,
         local = jax.tree_util.tree_map(lambda a: a[0], part)
         logits, _ = apply_eagcn_partitioned(
             params, state, local, cfg, n_graphs=n_graphs, train=False,
-            axis_name=axis_name, packed=packed,
+            axis_name=axis_name, packed=packed, overlap=overlap,
         )
         return logits
 

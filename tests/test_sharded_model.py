@@ -52,16 +52,19 @@ def setup(dropout=0.0):
 
 
 class TestPartitionedFullModel:
-    def test_forward_matches_single_device(self):
+    @pytest.mark.parametrize("overlap", [True, False])
+    def test_forward_matches_single_device(self, overlap):
         cfg, part, batch, labels, params, state = setup()
         mesh = make_mesh(graph=N_SHARDS)
-        ev = make_partitioned_eval(cfg, mesh, n_graphs=N_GRAPHS)
+        ev = make_partitioned_eval(cfg, mesh, n_graphs=N_GRAPHS,
+                                   overlap=overlap)
         logits_p = ev(params, state, part)
         logits_s, _, _, _ = apply_eagcn(params, state, batch, cfg,
                                         train=False)
         np.testing.assert_allclose(logits_p, logits_s, rtol=1e-5, atol=1e-5)
 
-    def test_train_step_matches_single_device(self):
+    @pytest.mark.parametrize("overlap", [True, False])
+    def test_train_step_matches_single_device(self, overlap):
         """One full train step (fwd + bwd + SGD) on the partitioned model
         must produce the same loss and the same updated parameters as the
         single-device model — this pins the grad psum split (layer grads
@@ -81,7 +84,8 @@ class TestPartitionedFullModel:
         tx = optax.sgd(1e-2)
         opt_state = tx.init(params)
 
-        step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=N_GRAPHS)
+        step = make_partitioned_train_step(cfg, tx, mesh, n_graphs=N_GRAPHS,
+                                           overlap=overlap)
         p_p, s_p, _, loss_p = step(params, state, opt_state, part, labels,
                                    None)
 
