@@ -17,6 +17,9 @@ import sys
 
 
 def _add_train_args(p: argparse.ArgumentParser) -> None:
+    # muv/pcba are registered datasets (data/registry.py) but have no
+    # hyperparameter table — the reference defines none either
+    # (train.py:61-114), so they are featurize-only here
     p.add_argument("--dataset", default="freesolv",
                    choices=["tox21", "hiv", "nih", "lipo", "esol", "freesolv"])
     p.add_argument("--arch", "-a", default="Concate",
@@ -34,6 +37,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="bf16 activations through the graph layers")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each graph layer (memory for FLOPs)")
+    p.add_argument("--bn-count-padding", action="store_true",
+                   help="A/B: node-level BN statistics count B*max(mol "
+                        "size) rows (the reference's padded-collate "
+                        "denominator) instead of real atoms only")
     p.add_argument("--scan-steps", default=0, type=int,
                    help="lax.scan K train steps per device dispatch "
                         "(amortizes remote-dispatch overhead)")
@@ -68,6 +75,7 @@ def cmd_train(args) -> int:
     cfg.model.backend = args.backend
     cfg.model.bf16 = args.bf16
     cfg.model.remat = args.remat
+    cfg.model.bn_count_padding = args.bn_count_padding
     cfg.train.num_data_shards = args.shards
     cfg.train.scan_steps = args.scan_steps
     cfg.out_dir = args.out_dir

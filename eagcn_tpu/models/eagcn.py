@@ -132,6 +132,15 @@ def apply_eagcn(
     new_state: State = {"layers": []}
     rngs = jax.random.split(rng, 6) if rng is not None else [None] * 6
 
+    # PARITY A/B: phantom zero rows so node-level BN statistics count
+    # B * batch-max molecule size, the reference's padded-collate
+    # denominator (`utils.py:524`, `layers.py:394-412`)
+    bn_extra = None
+    if cfg.bn_count_padding:
+        n_ref = (jnp.max(batch.mol_size * batch.mol_mask)
+                 * jnp.sum(batch.mol_mask))
+        bn_extra = n_ref - jnp.sum(batch.node_mask)
+
     consensus = None
     if cfg.structure in ("Concate", "Weighted_sum"):
         for li in range(4):
@@ -141,7 +150,7 @@ def apply_eagcn(
                     p, s, ops, batch, xx, cfg.structure, cfg.dropout,
                     train, k, last=(_li == 3), axis_name=axis_name,
                     need_consensus=(cfg.molfp_mode == "pool"),
-                    pre_transform=cfg.pre_transform,
+                    pre_transform=cfg.pre_transform, bn_extra=bn_extra,
                 )
 
             if cfg.remat:

@@ -83,6 +83,7 @@ def view_block_apply(
     precomputed_rowsum: Optional[jnp.ndarray] = None,
     need_sig: bool = True,
     pre_y: Optional[jnp.ndarray] = None,
+    bn_extra=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], State]:
     """Returns (activations [N, f_out], edge scores in backend layout,
     new state).  The edge scores correspond to the reference's returned
@@ -119,7 +120,8 @@ def view_block_apply(
         else:
             h = h @ params["w"] + params["b"]
     h_bn, bn_state = batch_norm_apply(
-        params["bn"], state["bn"], h, batch.node_mask, train, axis_name
+        params["bn"], state["bn"], h, batch.node_mask, train, axis_name,
+        extra_count=bn_extra,
     )
     h = jax.nn.relu(h_bn)
     if dt is not None:
@@ -170,6 +172,7 @@ def init_multiview_layer(
 def _multiview_layer_fused(
     params, state, ops: GraphOps, batch, x, structure: str,
     drop_rate: float, train: bool, rng, axis_name, pre_transform: bool,
+    bn_extra=None,
 ):
     """Fast path for EQUAL per-view widths (every reference benchmark
     config): the five per-view projections collapse into ONE matmul, the
@@ -259,7 +262,7 @@ def _multiview_layer_fused(
                                 for v in range(5)]),
     }
     h_bn, bn_s2 = batch_norm_apply(bn_p, bn_s, h, batch.node_mask, train,
-                                   axis_name)
+                                   axis_name, extra_count=bn_extra)
     h = jax.nn.relu(h_bn)
     if dt is not None:
         h = h.astype(dt)
@@ -284,7 +287,7 @@ def _multiview_layer_fused(
 def multiview_layer_apply(
     params, state, ops: GraphOps, batch, x, structure: str,
     drop_rate: float, train: bool, rng, last: bool = False, axis_name=None,
-    need_consensus: bool = True, pre_transform: bool = True,
+    need_consensus: bool = True, pre_transform: bool = True, bn_extra=None,
 ):
     """Returns (fused activations, consensus-A info or None, new state).
 
@@ -299,7 +302,7 @@ def multiview_layer_apply(
         return _multiview_layer_fused(
             params, state, ops, batch, x, structure, drop_rate, train,
             rng if rng is None else jax.random.fold_in(rng, 0),
-            axis_name, pre_transform,
+            axis_name, pre_transform, bn_extra,
         )
     rngs = jax.random.split(rng, 5) if rng is not None else [None] * 5
     blocks = params["blocks"]
@@ -347,6 +350,7 @@ def multiview_layer_apply(
             precomputed_rowsum=pre_rows,
             need_sig=last and need_consensus,
             pre_y=ys[v] if use_pre else None,
+            bn_extra=bn_extra,
         )
         xs.append(h)
         sigs.append(sig)

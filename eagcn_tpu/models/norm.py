@@ -8,6 +8,14 @@ fraction is a batch-shape constant rather than data, so eagcn_tpu computes
 intended normalization; divergence documented in SURVEY §7.3 and asserted
 in tests against a masked numpy oracle.
 
+For the parity A/B (PARITY.md item 2: the reference's padding-counting
+stats act as a regularizer whose strength grows with batch-max padding),
+`batch_norm_apply` takes an optional `extra_count` — a number of all-zero
+phantom rows added to the statistics' denominator.  Passing
+`B * max(mol_size) - real_nodes` reproduces the reference's per-batch-max
+padding semantics exactly (padding rows are zero, so they only change the
+count).  Enabled via `ModelConfig.bn_count_padding`.
+
 Semantics match torch BatchNorm1d otherwise: biased variance for
 normalization, unbiased variance into the running estimate, momentum 0.1,
 eps 1e-5 (torch defaults, used at `layers.py:399`).
@@ -28,8 +36,8 @@ EPS = 1e-5
 MOMENTUM = 0.1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _bn_train_core(x, mask, scale, bias, axis_name):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bn_train_core(x, mask, extra, scale, bias, axis_name):
     """Masked train-mode BN with a hand-written backward.
 
     XLA's autodiff of the naive formulation materializes the statistic
@@ -37,14 +45,15 @@ def _bn_train_core(x, mask, scale, bias, axis_name):
     bandwidth (profiled 6-8 ms per [225k, 1400] reduction on v5e).  The
     custom backward needs exactly TWO wide reductions (sum g, sum g*x)
     and ONE elementwise pass — the roofline minimum for BN backward.
+    `extra` is a scalar count of phantom zero rows (see module docstring).
     Returns (y, mean, biased-clamped var, count)."""
-    out, _ = _bn_core_fwd(x, mask, scale, bias, axis_name)
+    out, _ = _bn_core_fwd(x, mask, extra, scale, bias, axis_name)
     return out
 
 
-def _bn_train_fwd_math(x, mask, axis_name):
+def _bn_train_fwd_math(x, mask, extra, axis_name):
     m = mask[:, None]
-    count = jnp.sum(mask)
+    count = jnp.sum(mask) + extra
     x32 = x.astype(jnp.float32)
     s1 = jnp.sum(x32 * m, axis=0)
     s2 = jnp.sum(x32 * x32 * m, axis=0)
@@ -60,8 +69,9 @@ def _bn_train_fwd_math(x, mask, axis_name):
     return None, mean, var, count, gate, x32
 
 
-def _bn_core_fwd(x, mask, scale, bias, axis_name):
-    _, mean, var, count, gate, _ = _bn_train_fwd_math(x, mask, axis_name)
+def _bn_core_fwd(x, mask, extra, scale, bias, axis_name):
+    _, mean, var, count, gate, _ = _bn_train_fwd_math(x, mask, extra,
+                                                      axis_name)
     inv = jax.lax.rsqrt(var + EPS)
     y = (x.astype(jnp.float32) - mean) * inv * scale + bias
     return (y, mean, var, count), (x, mask, scale, mean, inv, count, gate)
@@ -92,7 +102,7 @@ def _bn_core_bwd(axis_name, res, cts):
     ds2 = dv / c
     dx = (g32 * (inv * scale)
           + mask[:, None] * (ds1 + 2.0 * ds2 * x32)).astype(x.dtype)
-    return dx, jnp.zeros_like(mask), d_scale, d_bias
+    return dx, jnp.zeros_like(mask), jnp.zeros(()), d_scale, d_bias
 
 
 _bn_train_core.defvjp(_bn_core_fwd, _bn_core_bwd)
@@ -119,14 +129,17 @@ def batch_norm_apply(
     mask: jnp.ndarray,       # [N] 1.0 for rows that count
     train: bool,
     axis_name: str | None = None,
+    extra_count=None,        # scalar: phantom zero rows in the statistics
 ) -> Tuple[jnp.ndarray, BNState]:
     """Masked BN over the leading axis.  When `axis_name` is given, moments
     are psum'd over that mesh axis so sharded training normalizes with
     GLOBAL batch statistics (the reference is single-device; this is the
     multi-chip generalization)."""
     if train:
+        extra = (jnp.zeros((), jnp.float32) if extra_count is None
+                 else jnp.asarray(extra_count, jnp.float32))
         y, mean, var, count = _bn_train_core(
-            x, mask, params["scale"], params["bias"], axis_name
+            x, mask, extra, params["scale"], params["bias"], axis_name
         )
         unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
         new_state = {

@@ -34,6 +34,12 @@ class ModelConfig:
                                       # f_out < f_in (tile/pallas backends;
                                       # identical math, fewer FLOPs — turn
                                       # off for strict op-order parity)
+    bn_count_padding: bool = False    # A/B: node-level BN statistics count
+                                      # B*max(mol_size) rows — the
+                                      # reference's per-batch-max padding
+                                      # semantics (layers.py:394-412 over
+                                      # utils.py:524 collate) — instead of
+                                      # real atoms only
     remat: bool = False               # jax.checkpoint each graph layer:
                                       # recompute activations in backward
                                       # instead of saving [N,V,F] residuals
