@@ -444,29 +444,16 @@ void perceive_rings(Mol& m) {
     }
 }
 
+// Relevant small rings: the shortest cycle through EVERY ring bond
+// (chord-only fundamental cycles collapse onto the 5-ring of fused 5-6
+// Kekule bicyclics — indole/purine — and never produce the benzo ring;
+// mirrors eagcn_tpu/chem/perception.py:_small_rings).
 std::vector<std::vector<int>> small_rings(const Mol& m, int max_size) {
   int n = (int)m.atoms.size();
-  std::vector<bool> seen(n, false);
-  std::set<int> tree_bonds;
-  for (int root = 0; root < n; ++root) {
-    if (seen[root]) continue;
-    seen[root] = true;
-    std::deque<int> dq{root};
-    while (!dq.empty()) {
-      int v = dq.front();
-      dq.pop_front();
-      for (auto& [to, bi] : m.adj[v])
-        if (!seen[to]) {
-          seen[to] = true;
-          tree_bonds.insert(bi);
-          dq.push_back(to);
-        }
-    }
-  }
   std::vector<std::vector<int>> rings;
   std::set<std::set<int>> keys;
   for (int bi = 0; bi < (int)m.bonds.size(); ++bi) {
-    if (tree_bonds.count(bi)) continue;
+    if (!m.bonds[bi].in_ring) continue;  // bridges have no cycle
     const Bond& b = m.bonds[bi];
     std::vector<int> prev(n, -1);
     prev[b.a1] = b.a1;

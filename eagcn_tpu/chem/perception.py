@@ -166,30 +166,22 @@ def _perceive_rings(mol: Mol) -> None:
 
 
 def _small_rings(mol: Mol, max_size: int = 7) -> List[List[int]]:
-    """Approximate SSSR: for every non-tree edge, the shortest cycle through
-    it (BFS with that edge removed).  Good enough for Hueckel candidates on
-    molecular graphs."""
+    """Relevant small rings: for EVERY ring bond, the shortest cycle through
+    it (BFS with that edge removed), deduplicated by atom set.
+
+    Chord-only fundamental cycles are NOT enough: in a fused 5-6 bicyclic
+    written in Kekule form (indole, purine, benzofuran...) both chords'
+    shortest cycles collapse onto the 5-ring and the 6-ring is never
+    produced, so Hueckel aromatization missed the benzo ring (round-5
+    audit finding).  Per-ring-bond shortest cycles cover every ring that
+    any bond considers its smallest — the Hueckel candidate set RDKit's
+    ring perception would give on these graphs."""
     n = mol.num_atoms
     adj = mol.adjacency()
-    # spanning forest to find chords
-    seen = [False] * n
-    tree_bonds: Set[int] = set()
-    for root in range(n):
-        if seen[root]:
-            continue
-        seen[root] = True
-        dq = deque([root])
-        while dq:
-            v = dq.popleft()
-            for to, b_idx in adj[v]:
-                if not seen[to]:
-                    seen[to] = True
-                    tree_bonds.add(b_idx)
-                    dq.append(to)
     rings: List[List[int]] = []
     ring_keys: Set[frozenset] = set()
     for b_idx, b in enumerate(mol.bonds):
-        if b_idx in tree_bonds:
+        if not b.in_ring:       # bridges (set by _perceive_rings) have no cycle
             continue
         # BFS shortest path b.a1 -> b.a2 avoiding bond b_idx
         prev = [-1] * n

@@ -218,3 +218,37 @@ class TestFeaturizer:
         for r in rows:
             g = featurize_smiles(r[1], ["6_6", "Others"])
             assert g.num_atoms > 1
+
+
+class TestFusedKekuleAromaticity:
+    """Round-5 audit regression: chord-only cycle bases missed the benzo
+    ring of fused 5-6 bicyclics written in Kekule form, so indole/purine
+    scaffolds featurized half-aromatic (perception.py:_small_rings)."""
+
+    PAIRS = [
+        ("indole", "c1ccc2[nH]ccc2c1", "C1=CC=C2NC=CC2=C1"),
+        ("benzimidazole", "c1ccc2[nH]cnc2c1", "C1=CC=C2NC=NC2=C1"),
+        ("purine", "c1ncc2[nH]cnc2n1", "C1=NC=C2NC=NC2=N1"),
+        ("benzothiazole", "c1ccc2scnc2c1", "C1=CC=C2SC=NC2=C1"),
+        ("benzofuran", "c1ccc2occc2c1", "C1=CC=C2OC=CC2=C1"),
+    ]
+
+    def test_kekule_fused_bicyclics_fully_aromatic(self):
+        from eagcn_tpu.chem import mol_from_smiles
+
+        for name, arom, kek in self.PAIRS:
+            ma = mol_from_smiles(arom)
+            mk = mol_from_smiles(kek)
+            assert all(a.aromatic for a in ma.atoms), name
+            assert all(a.aromatic for a in mk.atoms), f"{name} (kekule)"
+
+    def test_kekule_fused_featurization_matches_aromatic_form(self):
+        from eagcn_tpu.chem import featurize_smiles
+        import numpy as np
+
+        for name, arom, kek in self.PAIRS:
+            ga = featurize_smiles(arom, [])
+            gk = featurize_smiles(kek, [])
+            fa = sorted(tuple(r) for r in np.asarray(ga.atom_features))
+            fk = sorted(tuple(r) for r in np.asarray(gk.atom_features))
+            assert fa == fk, name
