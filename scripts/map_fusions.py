@@ -42,17 +42,7 @@ def full_g(carry):
 txt = full_g.lower((params, key)).compile().as_text()
 names = sys.argv[1:] or ["fusion.92"]
 
-# split into computations
-comps = {}
-cur = None
-for line in txt.splitlines():
-    m = re.match(r"^%?([\w.\-]+)\s.*{\s*(//.*)?$", line)
-    if line.startswith(("ENTRY", "%fused", "%region", "%wide")) or \
-       (m and "{" in line and "computation" in line.lower()):
-        pass
-    comps.setdefault(cur, []).append(line) if cur else None
-    # simpler: track "  %name = ... fusion(...), calls=%computation"
-# Instead: find the fusion instruction lines and their called computation.
+# find the fusion instruction lines and their called computation
 fusion_calls = {}
 for line in txt.splitlines():
     m = re.search(r"%?([\w.\-]+(?:\.\d+)?) = .*fusion\(.*calls=%?([\w.\-]+)", line)
@@ -78,14 +68,18 @@ for want in names:
     print("=" * 80)
     print(f"### {want}")
     if want not in fusion_calls:
-        # try prefix match
-        cands = [k for k in fusion_calls if k == want or k.startswith(want)]
+        # exact name preferred; a bare prefix like 'fusion.9' matches
+        # fusion.9/fusion.90/fusion.92..., so list every candidate
+        cands = sorted(k for k in fusion_calls if k.startswith(want))
         if not cands:
             print("  not found as fusion; grepping entry for name")
             for line in txt.splitlines():
                 if re.search(rf"%{re.escape(want)} = ", line):
                     print("  " + line.strip()[:300])
             continue
+        if len(cands) > 1:
+            print(f"  prefix matches {len(cands)} fusions: {cands}; "
+                  f"showing {cands[0]}")
         want = cands[0]
     comp, call_line = fusion_calls[want]
     print("CALL:", call_line[:300])

@@ -61,6 +61,9 @@ for pth in paths:
     dev_pids = {pid for pid, name in pid_names.items()
                 if "TPU" in name or "/device" in name.lower()
                 or "Axon" in name}
+    if not dev_pids:
+        print(f"WARNING: no device process matched in {sorted(pid_names.values())}; "
+              "totals below INCLUDE HOST-THREAD events", flush=True)
     for ev in data.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
