@@ -130,6 +130,47 @@ class EllHaloOps:
         return jnp.einsum("nd,ndf->nf", weights, gathered,
                           preferred_element_type=jnp.float32)
 
+    def fused_multiview_pv(self, att_list, ys):
+        """Narrow-side rewrite on the halo path: per-view features ys
+        (five [Ns, f_v]) are CONCATENATED into one packed exchange (the
+        halo bytes stay one message per layer; 5*f_v vs f_in floats per
+        row), then each view aggregates its own slice.  Returns
+        (agg list of [Ns, f_v] f32, rows [5, Ns]) like the tile backend."""
+        fs = [int(y.shape[1]) for y in ys]
+        offs = np.concatenate([[0], np.cumsum(fs)])
+        ycat = jnp.concatenate(ys, axis=1)               # [Ns, 5f]
+        ns = ycat.shape[0]
+        sig_all = jnp.stack(
+            [self.scores(att_list[v], v) for v in range(5)], axis=-1)
+        rows = jnp.stack([sig_all[..., v].sum(1) for v in range(5)]
+                         ).astype(jnp.float32)           # [5, Ns]
+        if self.overlap:
+            halo = self._halo(ycat)
+            is_local = self.neigh < ns
+            idx_local = jnp.where(is_local, self.neigh, 0)
+            gathered = ycat[idx_local]                   # [Ns, D, 5f]
+            w_local = sig_all * is_local[..., None].astype(sig_all.dtype)
+            agg = [jnp.einsum("nd,ndf->nf", w_local[..., v],
+                              gathered[:, :, offs[v]:offs[v + 1]],
+                              preferred_element_type=jnp.float32)
+                   for v in range(5)]
+            w_h = sig_all[self.he_dst, self.he_slot]     # [Eh, 5]
+            w_h = w_h * self.he_mask[:, None]
+            g_h = halo[self.he_src]                      # [Eh, 5f]
+            for v in range(5):
+                contrib = (w_h[:, v:v + 1]
+                           * g_h[:, offs[v]:offs[v + 1]].astype(w_h.dtype))
+                agg[v] = agg[v] + jax.ops.segment_sum(
+                    contrib, self.he_dst, num_segments=ns
+                ).astype(agg[v].dtype)
+            return agg, rows
+        buf = self._buffer(ycat)[self.neigh]             # [Ns, D, 5f]
+        agg = [jnp.einsum("nd,ndf->nf", sig_all[..., v],
+                          buf[:, :, offs[v]:offs[v + 1]],
+                          preferred_element_type=jnp.float32)
+               for v in range(5)]
+        return agg, rows
+
     def multi_aggregate(self, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """weights [Ns, D, V], x [Ns, F] -> [Ns, V, F]; ONE halo exchange +
         ONE gather shared by all views."""
@@ -151,6 +192,7 @@ def apply_eagcn_partitioned(
     axis_name: str = "graph",
     packed: bool = True,
     overlap: bool = True,
+    pre_transform: bool = True,
 ) -> Tuple[jnp.ndarray, dict]:
     """Per-shard body (call inside shard_map): the full EAGCN forward on a
     batch of `n_graphs` edge-partitioned giant graphs -> (logits [G, T],
@@ -177,7 +219,8 @@ def apply_eagcn_partitioned(
         x, _, s = multiview_layer_apply(
             params["layers"][li], state["layers"][li], ops, shim, x,
             cfg.structure, cfg.dropout, train, rngs[li], last=(li == 3),
-            axis_name=axis_name, need_consensus=False, pre_transform=False,
+            axis_name=axis_name, need_consensus=False,
+            pre_transform=pre_transform,
         )
         new_state["layers"].append(s)
 
@@ -211,7 +254,8 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
                                 n_graphs: int = 1,
                                 axis_name: str = "graph",
                                 packed: bool = True,
-                                overlap: bool = True):
+                                overlap: bool = True,
+                                pre_transform: bool = True):
     """Jitted full-model train step over a batch of edge-partitioned giant
     graphs: (params, state, opt_state, part [S,...], labels [G,T], rng) ->
     (params, state, opt_state, loss).  Regression MSE on the graph-level
@@ -228,7 +272,7 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
             logits, new_state = apply_eagcn_partitioned(
                 p, state, local, cfg, n_graphs=n_graphs, train=True,
                 rng=rng, axis_name=axis_name, packed=packed,
-                overlap=overlap,
+                overlap=overlap, pre_transform=pre_transform,
             )
             loss = jnp.mean((logits - labels) ** 2)
             # differentiate loss/n: under check_vma=False the transpose of
@@ -266,7 +310,8 @@ def make_partitioned_train_step(cfg: ModelConfig, tx, mesh,
 def make_partitioned_eval(cfg: ModelConfig, mesh, n_graphs: int = 1,
                           axis_name: str = "graph",
                           packed: bool = True,
-                          overlap: bool = True):
+                          overlap: bool = True,
+                          pre_transform: bool = True):
     """Jitted forward over the partitioned graph batch -> logits [G, T]."""
     from jax.sharding import PartitionSpec as P
 
@@ -275,6 +320,7 @@ def make_partitioned_eval(cfg: ModelConfig, mesh, n_graphs: int = 1,
         logits, _ = apply_eagcn_partitioned(
             params, state, local, cfg, n_graphs=n_graphs, train=False,
             axis_name=axis_name, packed=packed, overlap=overlap,
+            pre_transform=pre_transform,
         )
         return logits
 

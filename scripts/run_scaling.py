@@ -147,8 +147,11 @@ def cpu_mode():
             jax.block_until_ready(loss)
             return (time.perf_counter() - t0) / 3
 
-        dt = time_step(make_partitioned_train_step(cfg, tx, mesh,
-                                                   n_graphs=2, packed=True))
+        dt = time_step(make_partitioned_train_step(
+            cfg, tx, mesh, n_graphs=2, packed=True, overlap=True))
+        dt_seq = time_step(make_partitioned_train_step(
+            cfg, tx, mesh, n_graphs=2, packed=True,
+            overlap=False)) if s > 1 else dt
         dt_ag = time_step(make_partitioned_train_step(
             cfg, tx, mesh, n_graphs=2, packed=False)) if s > 1 else dt
         eps = edges / dt
@@ -156,6 +159,7 @@ def cpu_mode():
             base = eps
         runs.append({
             "shards": s, "ms_per_step": round(dt * 1e3, 1),
+            "ms_per_step_sequential_halo": round(dt_seq * 1e3, 1),
             "ms_per_step_allgather_halo": round(dt_ag * 1e3, 1),
             "edges_per_s": round(eps, 1),
             "scaling_efficiency": round(eps / (base * s), 4),
@@ -170,7 +174,9 @@ def cpu_mode():
     res["full_model_scaling"] = {
         "n_directed_edges": edges,
         "model": "EAGCN Concate 4x5 views, 16-wide",
-        "halo_exchange": "packed all_to_all (bytes ∝ halo); allgather A/B",
+        "halo_exchange": ("overlapped packed all_to_all (local einsum "
+                          "collective-independent, halo-edge COO tail; "
+                          "bytes ∝ halo); sequential + allgather A/B"),
         "runs": runs,
         "caveat": res.get("spmm_scaling", {}).get("caveat", ""),
     }
@@ -206,12 +212,15 @@ def tpu_mode():
             opt = tx.init(params)
             step = make_train_step(cfg, "reg", tx)
             rng = jax.random.key(0, impl="rbg")
-            floor = _floor_of(step.lower(params, state, opt, batch,
-                                         rng).compile())
+            # AOT compile once; time the same executable (the persistent
+            # cache does not hold big programs here, so re-tracing through
+            # the jit would recompile the identical HLO)
+            compiled = step.lower(params, state, opt, batch, rng).compile()
+            floor = _floor_of(compiled)
 
             def one(carry):
                 p, s, o = carry
-                p, s, o, loss = step(p, s, o, batch, rng)
+                p, s, o, loss = compiled(p, s, o, batch, rng)
                 return (p, s, o)
 
             dt, status = guarded_time(
@@ -279,12 +288,13 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
             opt = tx.init(params)
             step = make_train_step(cfg, "reg", tx)
             rng = jax.random.key(0, impl="rbg")
-            floor = _floor_of(step.lower(params, state, opt, dbatch,
-                                         rng).compile())
+            compiled = step.lower(params, state, opt, dbatch,
+                                  rng).compile()
+            floor = _floor_of(compiled)
 
             def one(carry):
                 p, s, o = carry
-                p, s, o, loss = step(p, s, o, dbatch, rng)
+                p, s, o, loss = compiled(p, s, o, dbatch, rng)
                 return (p, s, o)
 
             dt, status = guarded_time(
@@ -316,9 +326,8 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
 
                 from eagcn_tpu.utils.timing import guarded_time
 
-                fwd = jax.jit(fwd_fn)
-                floor = _floor_of(
-                    fwd.lower(params, state, dbatch).compile())
+                fwd = jax.jit(fwd_fn).lower(params, state, dbatch).compile()
+                floor = _floor_of(fwd)
 
                 dt, status = guarded_time(
                     lambda c: fwd(params, state, dbatch), None,

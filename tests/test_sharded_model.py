@@ -52,12 +52,14 @@ def setup(dropout=0.0):
 
 
 class TestPartitionedFullModel:
-    @pytest.mark.parametrize("overlap", [True, False])
-    def test_forward_matches_single_device(self, overlap):
+    @pytest.mark.parametrize("overlap,pre_transform",
+                             [(True, False), (False, False), (True, True)])
+    def test_forward_matches_single_device(self, overlap, pre_transform):
         cfg, part, batch, labels, params, state = setup()
         mesh = make_mesh(graph=N_SHARDS)
         ev = make_partitioned_eval(cfg, mesh, n_graphs=N_GRAPHS,
-                                   overlap=overlap)
+                                   overlap=overlap,
+                                   pre_transform=pre_transform)
         logits_p = ev(params, state, part)
         logits_s, _, _, _ = apply_eagcn(params, state, batch, cfg,
                                         train=False)
