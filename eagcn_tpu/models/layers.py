@@ -47,8 +47,17 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
     if not train or rate <= 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+
+    # checkpoint: the backward recomputes the bernoulli mask from the rng
+    # (hardware-cheap with rbg keys) instead of storing an [N, F] bool
+    # residual — saves the mask's HBM round trip (~0.9 GB/step at bench
+    # widths) with bitwise-identical results (same key -> same bits)
+    @jax.checkpoint
+    def _drop(x, rng):
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+    return _drop(x, rng)
 
 
 # --------------------------------------------------------------------------
