@@ -210,11 +210,10 @@ def tpu_mode():
                 jnp.asarray, giant_batch_from_graph(g))
             params, state = init_eagcn(jax.random.key(0), cfg)
             opt = tx.init(params)
-            step = make_train_step(cfg, "reg", tx)
+            # fused single program (split=False) so it can be AOT-lowered
+            # for the cost-model floor AND timed as the same executable
+            step = make_train_step(cfg, "reg", tx, split=False)
             rng = jax.random.key(0, impl="rbg")
-            # AOT compile once; time the same executable (the persistent
-            # cache does not hold big programs here, so re-tracing through
-            # the jit would recompile the identical HLO)
             compiled = step.lower(params, state, opt, batch, rng).compile()
             floor = _floor_of(compiled)
 
@@ -286,7 +285,7 @@ def memory_envelope(sizes=(2_500_000, 6_250_000, 12_500_000, 25_000_000)):
             dbatch = jax.tree_util.tree_map(jnp.asarray, host)
             params, state = init_eagcn(jax.random.key(0), cfg)
             opt = tx.init(params)
-            step = make_train_step(cfg, "reg", tx)
+            step = make_train_step(cfg, "reg", tx, split=False)
             rng = jax.random.key(0, impl="rbg")
             compiled = step.lower(params, state, opt, dbatch,
                                   rng).compile()
