@@ -203,7 +203,11 @@ def tpu_mode():
                         max_degree=8)
         edges = 2 * g.num_bonds
         rung = {"n_nodes": n_nodes, "n_directed_edges": edges}
-        try:
+        # the remote compile service 500s flakily (r4+r5: a 250k-node
+        # program failed while the 1M-node one compiled right after);
+        # retry transient compile errors before recording an error row
+        for attempt in range(3):
+          try:
             from eagcn_tpu.utils.timing import guarded_time
 
             batch = jax.tree_util.tree_map(
@@ -233,8 +237,16 @@ def tpu_mode():
                 "timing_status": status,
                 "hbm_peak_bytes": ms.get("peak_bytes_in_use"),
             })
-        except Exception as e:
+            rung.pop("error", None)
+            break
+          except Exception as e:
             rung["error"] = str(e)[:300]
+            transient = "remote_compile" in str(e) or "HTTP 5" in str(e)
+            if not transient:
+                break
+            print(f"  transient compile failure (attempt {attempt+1}), "
+                  f"retrying", flush=True)
+            time.sleep(20)
         runs.append(rung)
         print("  stress", rung, flush=True)
         res = load()
