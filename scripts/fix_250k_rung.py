@@ -30,7 +30,7 @@ cfg = ModelConfig(n_bfeat=20, sgc1=(40,) * 5, sgc2=(60,) * 5,
                   structure="Concate", backend="ell", bf16=True,
                   remat=True)
 tx = make_optimizer(1e-3, 0.0)
-n_nodes = 250_000
+n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
 g = giant_graph(5, n_nodes, avg_degree=4.0, n_bond_types=20, max_degree=8)
 edges = 2 * g.num_bonds
 rung = {"n_nodes": n_nodes, "n_directed_edges": edges,
