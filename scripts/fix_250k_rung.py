@@ -33,10 +33,11 @@ tx = make_optimizer(1e-3, 0.0)
 n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
 g = giant_graph(5, n_nodes, avg_degree=4.0, n_bond_types=20, max_degree=8)
 edges = 2 * g.num_bonds
+CT = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 17)
 rung = {"n_nodes": n_nodes, "n_directed_edges": edges,
-        "chunk_target": 1 << 17}
+        "chunk_target": CT}
 batch = jax.tree_util.tree_map(
-    jnp.asarray, giant_batch_from_graph(g, chunk_target=1 << 17))
+    jnp.asarray, giant_batch_from_graph(g, chunk_target=CT))
 params, state = init_eagcn(jax.random.key(0), cfg)
 opt = tx.init(params)
 step = make_train_step(cfg, "reg", tx, split=False)
